@@ -1,0 +1,143 @@
+"""Gauge-field utilities: plaquette, field strength, clover term, SU(3) tools.
+
+TPU-native formulation: every quantity is computed on whole-lattice arrays
+with jnp.roll for neighbor access (periodic; anti-periodic time signs are
+baked into the links at load time, see io.py), so XLA sees a handful of
+large batched 3x3 complex matmuls instead of per-site loops.
+
+Conventions mirror the reference implementation:
+  * plaquette Q and Qdiff: reference src/dirac.c:304-371 (Q = sum of the
+    four plaquettes in the (mu,nu) plane around x, scaled by 1/16;
+    Qdiff_{mu nu} = Q_{mu nu} - Q_{nu mu} = Q - Q^dagger).
+  * clover site matrix (reference src/dirac.c:24-58, 374-402):
+        C(x) = (4 + m0) I_12  -  csw * sum_{mu<nu} (gamma_mu gamma_nu) (x) Qdiff_{mu nu}(x)
+    which is block-diagonal over the two chiralities (spins {0,1} / {2,3});
+    we store it dense as [T,Z,Y,X, 2, 6, 6] Hermitian blocks
+    (block index = 3*spin_within_block + color).
+  * average plaquette normalized to [0, 3] (reference src/dirac.c:568-622).
+
+U layout everywhere: [4, T, Z, Y, X, 3, 3] with direction order (T,Z,Y,X).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .gamma import get_basis
+
+T, Z, Y, X = 0, 1, 2, 3
+
+
+def _roll(a: jnp.ndarray, shift: int, mu: int) -> jnp.ndarray:
+    """Roll a lattice-indexed array along direction mu (lattice axes lead).
+
+    shift=-1 brings a[x+mu] to site x; shift=+1 brings a[x-mu]."""
+    return jnp.roll(a, shift, axis=mu)
+
+
+def dag(a: jnp.ndarray) -> jnp.ndarray:
+    return jnp.conj(jnp.swapaxes(a, -1, -2))
+
+
+def _mm(*ms) -> jnp.ndarray:
+    out = ms[0]
+    for m in ms[1:]:
+        out = jnp.einsum("...ij,...jk->...ik", out, m)
+    return out
+
+
+def plaquette_field(U: jnp.ndarray, mu: int, nu: int) -> jnp.ndarray:
+    """P_{mu nu}(x) = U_mu(x) U_nu(x+mu) U_mu(x+nu)^H U_nu(x)^H, [T,Z,Y,X,3,3]."""
+    Umu, Unu = U[mu], U[nu]
+    return _mm(Umu, _roll(Unu, -1, mu), dag(_roll(Umu, -1, nu)), dag(Unu))
+
+
+@jax.jit
+def average_plaquette(U: jnp.ndarray) -> jnp.ndarray:
+    """Average plaquette normalized to [0, 3] (reference convention)."""
+    total = jnp.zeros((), dtype=U.real.dtype)
+    for mu in range(4):
+        for nu in range(mu + 1, 4):
+            p = plaquette_field(U, mu, nu)
+            total = total + jnp.einsum("...ii->...", p).real.sum()
+    vol = np.prod(U.shape[1:5])
+    return total / (6.0 * vol)
+
+
+def clover_Q(U: jnp.ndarray, mu: int, nu: int) -> jnp.ndarray:
+    """Q_{mu nu}(x) = 1/16 * (sum of the 4 plaquette leaves in the (mu,nu)
+    plane attached to x).  Mirrors reference src/dirac.c:304-355."""
+    Umu, Unu = U[mu], U[nu]
+    Umu_m = _roll(Umu, 1, mu)                  # U_mu(x - mu)
+    Unu_m = _roll(Unu, 1, mu)                  # U_nu(x - mu)
+    Umu_n = _roll(Umu, 1, nu)                  # U_mu(x - nu)
+    Unu_n = _roll(Unu, 1, nu)                  # U_nu(x - nu)
+    Umu_mn = _roll(Umu_m, 1, nu)               # U_mu(x - mu - nu)
+    Unu_mn = _roll(Unu_m, 1, nu)               # U_nu(x - mu - nu)
+    # leaf 1: (mu, nu)
+    p1 = _mm(Umu, _roll(Unu, -1, mu), dag(_roll(Umu, -1, nu)), dag(Unu))
+    # leaf 2: (nu, -mu)
+    p2 = _mm(Unu, dag(_roll(Umu_m, -1, nu)), dag(Unu_m), Umu_m)
+    # leaf 3: (-mu, -nu)
+    p3 = _mm(dag(Umu_m), dag(Unu_mn), Umu_mn, Unu_n)
+    # leaf 4: (-nu, mu)
+    p4 = _mm(dag(Unu_n), Umu_n, _roll(_roll(Unu, -1, mu), 1, nu), dag(Umu))
+    return (p1 + p2 + p3 + p4) / 16.0
+
+
+def clover_Qdiff(U: jnp.ndarray, mu: int, nu: int) -> jnp.ndarray:
+    """Qdiff_{mu nu} = Q_{mu nu} - Q_{nu mu} = Q - Q^dagger (anti-Hermitian)."""
+    q = clover_Q(U, mu, nu)
+    return q - dag(q)
+
+
+def compute_clover(U: jnp.ndarray, m0: float, csw: float,
+                   basis_name: str | None = None) -> jnp.ndarray:
+    """Build the clover term as two dense Hermitian 6x6 chirality blocks.
+
+    Returns clover[T,Z,Y,X, 2, 6, 6] with
+      C = (4 + m0) I_12 - csw * sum_{mu<nu} (gamma_mu gamma_nu) (x) Qdiff_{mu nu}.
+    With csw == 0 the result is just the diagonal shift (kept dense so the
+    apply path is uniform).  Reference: src/dirac.c:24-58, 374-402.
+    """
+    basis = get_basis(basis_name) if basis_name else get_basis()
+    lat = U.shape[1:5]
+    cdtype = U.dtype
+    eye6 = jnp.eye(6, dtype=cdtype)
+    clover = jnp.broadcast_to((4.0 + m0) * eye6, (*lat, 2, 6, 6)).astype(cdtype)
+    if csw != 0.0:
+        acc = jnp.zeros((*lat, 2, 6, 6), dtype=cdtype)
+        for mu in range(4):
+            for nu in range(mu + 1, 4):
+                sig = basis.sigma_munu(mu, nu)  # 4x4, chiral-block-diagonal
+                qd = clover_Qdiff(U, mu, nu)    # [T,Z,Y,X,3,3]
+                # per-chirality 2x2 spin blocks, kron'd with the 3x3 color matrix:
+                # out[(s,i),(t,j)] = sig_blk[s,t] * qd[i,j]
+                blk = np.stack([sig[0:2, 0:2], sig[2:4, 2:4]])  # [2(chir), 2, 2]
+                k = jnp.einsum("cst,...ij->...csitj", jnp.asarray(blk, dtype=cdtype), qd)
+                acc = acc + k.reshape(*lat, 2, 6, 6)
+        clover = clover - csw * acc
+    return clover
+
+
+def unit_gauge(lattice, dtype=jnp.complex128) -> jnp.ndarray:
+    """Unit (free-field) configuration (reference analog: conf/random/unit_conf.c)."""
+    eye = jnp.eye(3, dtype=dtype)
+    return jnp.broadcast_to(eye, (4, *lattice, 3, 3)).astype(dtype)
+
+
+def random_gauge(lattice, key=None, seed: int = 0, dtype=jnp.complex128) -> jnp.ndarray:
+    """Haar-random SU(3) configuration via QR of complex Gaussians
+    (reference analog: conf/random/random_conf.c)."""
+    if key is None:
+        key = jax.random.PRNGKey(seed)
+    ka, kb = jax.random.split(key)
+    shape = (4, *lattice, 3, 3)
+    z = (jax.random.normal(ka, shape) + 1j * jax.random.normal(kb, shape)).astype(dtype)
+    q, r = jnp.linalg.qr(z)
+    d = jnp.diagonal(r, axis1=-2, axis2=-1)
+    q = q * jnp.conj(d / jnp.abs(d))[..., None, :]   # Haar phase fix (U(3))
+    det = jnp.linalg.det(q)                          # |det| = 1
+    return q * jnp.conj(det ** (1.0 / 3.0))[..., None, None]  # project to SU(3)
