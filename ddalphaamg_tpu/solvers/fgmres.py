@@ -1,0 +1,199 @@
+"""Restarted flexible GMRES (FGMRES), right-preconditioned.
+
+Rebuild of the reference fgmres_PRECISION (src/linsolve_generic.c:219-413):
+  * classical Gram-Schmidt Arnoldi with a single global reduction per step
+    (the reference's process_multi_inner_product + one MPI_Allreduce,
+    src/linsolve_generic.c:820-851) -- on TPU this is ONE batched matmul
+    V^H w over the stacked basis, an MXU op, with the cross-device psum
+    inserted by XLA when the vectors are sharded;
+  * Givens-rotation QR update of the Hessenberg matrix
+    (qr_update_PRECISION, src/linsolve_generic.c:898-941);
+  * convergence on |gamma_{j+1}| / ||r_0|| < tol, divergence guard at 1e5
+    (src/linsolve_generic.c:330-335);
+  * solution via backward substitution over the preconditioned basis Z
+    (compute_solution_PRECISION, src/linsolve_generic.c:943-982).
+
+Structure: the big vector operations (operator apply, preconditioner,
+orthogonalization) are jitted device code with static shapes; the tiny
+Hessenberg/Givens scalar algebra runs on the host in float64, which both
+matches the reference's double-precision small-matrix math and keeps the
+device graph free of O(m^2) scalar work.  Vectors may be any pytree-leaf
+array shape; everything is flattened internally.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class FGMRESResult:
+    x: jnp.ndarray
+    iterations: int
+    relres: float
+    converged: bool
+    resvec: list  # approximate relative residual after each iteration
+
+
+@jax.jit
+def _orthogonalize(V: jnp.ndarray, w: jnp.ndarray):
+    """One classical-Gram-Schmidt step against the (zero-padded) basis V.
+
+    V: [m+1, n] buffer whose rows >= j are zero; w: [n].
+    Returns (w_orth, h) with h = V^H w (zero rows give zero coefficients,
+    so no masking is needed) and w_orth = w - V^T h.
+    """
+    h = jnp.einsum("in,n->i", jnp.conj(V), w)
+    w = w - jnp.einsum("i,in->n", h, V)
+    return w, h
+
+
+@jax.jit
+def _norm(w: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sqrt(jnp.sum(jnp.abs(w) ** 2).real)
+
+
+def fgmres(
+    apply_op: Callable,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    preconditioner: Optional[Callable] = None,
+    tol: float = 1e-10,
+    restart_length: int = 50,
+    max_restarts: int = 20,
+    reorthogonalize: bool = False,
+    print_residuals: bool = False,
+) -> FGMRESResult:
+    """Solve apply_op(x) = b to relative residual `tol`.
+
+    apply_op / preconditioner map a vector (any array shape) to a vector of
+    the same shape; preconditioning is flexible right preconditioning
+    (x = x0 + Z y with Z[j] = M(V[j])).
+    """
+    shape = b.shape
+    dtype = b.dtype
+    n = int(np.prod(shape))
+    bf = jnp.ravel(b)
+
+    def op_flat(v):
+        return jnp.ravel(apply_op(v.reshape(shape)))
+
+    prec_flat = None
+    if preconditioner is not None:
+        def prec_flat(v):
+            return jnp.ravel(preconditioner(v.reshape(shape)))
+
+    m = restart_length
+    x = jnp.zeros(n, dtype=dtype) if x0 is None else jnp.ravel(x0)
+    have_x0 = x0 is not None
+
+    norm_r0 = None
+    resvec: list[float] = []
+    total_iters = 0
+    converged = False
+    diverged = False
+    gamma_jp1 = 1.0
+
+    for ol in range(max_restarts):
+        if ol == 0 and not have_x0:
+            r = bf
+        else:
+            r = bf - op_flat(x)
+        gamma0 = float(_norm(r))
+        if norm_r0 is None:
+            norm_r0 = gamma0
+            if norm_r0 == 0.0:
+                return FGMRESResult(x.reshape(shape), 0, 0.0, True, [])
+        if gamma0 / norm_r0 < tol:
+            converged = True
+            gamma_jp1 = gamma0
+            break
+
+        # Arnoldi buffers: basis V, preconditioned basis Z (device), small
+        # Hessenberg/Givens state (host, float64).
+        V = jnp.zeros((m + 1, n), dtype=dtype)
+        Z = jnp.zeros((m, n), dtype=dtype) if prec_flat is not None else None
+        V = V.at[0].set(r / gamma0)
+        H = np.zeros((m + 1, m), dtype=np.complex128)
+        cs = np.zeros(m, dtype=np.complex128)
+        sn = np.zeros(m, dtype=np.complex128)
+        gamma = np.zeros(m + 1, dtype=np.complex128)
+        gamma[0] = gamma0
+
+        j_used = -1
+        for j in range(m):
+            total_iters += 1
+            vj = V[j]
+            if prec_flat is not None:
+                zj = prec_flat(vj)
+                Z = Z.at[j].set(zj)
+                w = op_flat(zj)
+            else:
+                w = op_flat(vj)
+
+            w, h = _orthogonalize(V, w)
+            h_host = np.asarray(h, dtype=np.complex128)
+            if reorthogonalize:
+                w, h2 = _orthogonalize(V, w)
+                h_host = h_host + np.asarray(h2, dtype=np.complex128)
+            hnorm = float(_norm(w))
+            H[: j + 1, j] = h_host[: j + 1]
+            H[j + 1, j] = hnorm
+            if hnorm > 1e-15:
+                V = V.at[j + 1].set(w / hnorm)
+            j_used = j
+
+            if abs(H[j + 1, j]) <= tol / 10:
+                # happy breakdown (reference src/linsolve_generic.c:336-341)
+                converged = True
+                gamma_jp1 = 0.0
+                break
+
+            # Givens QR update (host, double)
+            for i in range(j):
+                beta = -sn[i] * H[i, j] + cs[i] * H[i + 1, j]
+                H[i, j] = np.conj(cs[i]) * H[i, j] + np.conj(sn[i]) * H[i + 1, j]
+                H[i + 1, j] = beta
+            beta = np.sqrt(abs(H[j, j]) ** 2 + abs(H[j + 1, j]) ** 2)
+            sn[j] = H[j + 1, j] / beta
+            cs[j] = H[j, j] / beta
+            gamma[j + 1] = -sn[j] * gamma[j]
+            gamma[j] = np.conj(cs[j]) * gamma[j]
+            H[j, j] = beta
+            H[j + 1, j] = 0.0
+
+            gamma_jp1 = abs(gamma[j + 1])
+            rel = gamma_jp1 / norm_r0
+            resvec.append(rel)
+            if print_residuals:
+                print(f"| approx. rel. res. after {total_iters:6d} iterations: {rel:e} |")
+            if rel < tol:
+                converged = True
+                break
+            if rel > 1e5:
+                diverged = True
+                break
+
+        # compute solution update x += Z y (or V y without preconditioning)
+        if j_used >= 0:
+            y = np.zeros(j_used + 1, dtype=np.complex128)
+            for i in range(j_used, -1, -1):
+                y[i] = gamma[i]
+                for k in range(i + 1, j_used + 1):
+                    y[i] -= H[i, k] * y[k]
+                y[i] /= H[i, i]
+            basis = Z if prec_flat is not None else V
+            yj = jnp.asarray(y, dtype=dtype)
+            x = x + jnp.einsum("i,in->n", yj, basis[: j_used + 1])
+
+        if converged or diverged:
+            break
+
+    relres = float(gamma_jp1) / norm_r0 if norm_r0 else 0.0
+    return FGMRESResult(x.reshape(shape), total_iters, relres, converged and not diverged, resvec)

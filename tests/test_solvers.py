@@ -1,0 +1,84 @@
+"""Krylov solver correctness: plain FGMRES / CGN / BiCGstab solves of the
+Wilson-clover system on the bundled 4^4 config to 1e-10 relative residual.
+This is BASELINE config 1 ("plain FGMRES on 4^4, single device")."""
+
+import numpy as np
+import pytest
+
+from ddalphaamg_tpu import io as dio
+from ddalphaamg_tpu.operators import wilson
+from ddalphaamg_tpu.solvers import fgmres, cgn, bicgstab, fgcr
+
+M0, CSW = -0.5, 1.0
+
+
+@pytest.fixture(scope="module")
+def op4(conf4):
+    U, _ = dio.read_gauge_field(conf4, anti_periodic=True)
+    return wilson.WilsonOperator.from_gauge(U, m0=M0, csw=CSW)
+
+
+@pytest.fixture(scope="module")
+def rhs_ones(op4):
+    # reference default rhs: all ones (sample.ini "right hand side: 0")
+    return np.ones((*op4.lattice, 4, 3), dtype=complex)
+
+
+def true_relres(op, x, b):
+    from ddalphaamg_tpu.operators.wilson import d_plus_clover
+
+    r = np.asarray(b) - np.asarray(d_plus_clover(op, x))
+    return np.linalg.norm(r) / np.linalg.norm(b)
+
+
+def test_fgmres_plain_4to4(op4, rhs_ones):
+    import jax.numpy as jnp
+
+    b = jnp.asarray(rhs_ones)
+    res = fgmres(lambda v: wilson.d_plus_clover(op4, v), b,
+                 tol=1e-10, restart_length=50, max_restarts=20)
+    assert res.converged, res.relres
+    assert true_relres(op4, res.x, b) < 1e-9
+    assert res.iterations < 1000
+
+
+def test_fgmres_with_identity_preconditioner_matches(op4, rhs_ones):
+    import jax.numpy as jnp
+
+    b = jnp.asarray(rhs_ones)
+    res = fgmres(lambda v: wilson.d_plus_clover(op4, v), b,
+                 preconditioner=lambda v: v,
+                 tol=1e-8, restart_length=50, max_restarts=20)
+    assert res.converged
+    assert true_relres(op4, res.x, b) < 1e-7
+
+
+def test_cgn(op4, rhs_ones):
+    import jax.numpy as jnp
+
+    b = jnp.asarray(rhs_ones)
+    res = cgn(lambda v: wilson.d_plus_clover(op4, v),
+              lambda v: wilson.d_dagger(op4, v),
+              b, tol=1e-8, max_iter=20000)
+    assert res.converged
+    assert true_relres(op4, res.x, b) < 1e-7
+
+
+def test_bicgstab(op4, rhs_ones):
+    import jax.numpy as jnp
+
+    b = jnp.asarray(rhs_ones)
+    res = bicgstab(lambda v: wilson.d_plus_clover(op4, v), b,
+                   tol=1e-8, max_iter=20000)
+    assert res.converged
+    assert true_relres(op4, res.x, b) < 1e-7
+
+
+def test_fgcr(op4, rhs_ones):
+    import jax.numpy as jnp
+
+    b = jnp.asarray(rhs_ones)
+    res = fgcr(lambda v: wilson.d_plus_clover(op4, v), b,
+               tol=1e-8, restart_length=50, max_restarts=20)
+    assert res.converged
+    assert true_relres(op4, res.x, b) < 1e-7
