@@ -1,0 +1,149 @@
+"""Odd-even (red-black site) preconditioning of the fine-grid operator.
+
+Reference: src/oddeven_generic.c.  The operator in parity-blocked form is
+
+    D = [ A_ee  D_eo ]
+        [ D_oe  A_oo ]
+
+(A = clover self-coupling, block-diagonal per site; hopping couples opposite
+parities only).  The Schur complement  S = A_ee - D_eo A_oo^{-1} D_oe  is
+solved on even sites with GMRES, then odd sites are reconstructed
+(solve_oddeven_PRECISION, src/oddeven_generic.c:743-866).
+
+TPU-native realization: no parity reordering of storage.  Parities are
+checkerboard masks on the dense [T,Z,Y,X] lattice; D_eo v = hopping(mask_o v)
+(output support is automatically even since all neighbors of an even site
+are odd).  A_oo^{-1} is precomputed as dense 6x6 chirality-block inverses --
+batched jnp.linalg.inv at setup instead of the reference's per-site Cholesky
+(selfcoupling_cholesky_decomposition_PRECISION, src/oddeven_generic.c:24-117).
+This costs a redundant 2x on masked hopping flops versus packed parity
+storage (future Pallas optimization) but keeps every op dense and fused.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .wilson import WilsonOperator, clover_apply, dslash_hopping
+
+
+def parity_masks(lattice, dtype=jnp.float64):
+    """(even, odd) masks of shape [T,Z,Y,X,1,1], even = (t+z+y+x) % 2 == 0."""
+    t, z, y, x = np.ix_(*[np.arange(n) for n in lattice])
+    par = (t + z + y + x) % 2
+    even = (par == 0).astype(np.float64)[..., None, None]
+    return jnp.asarray(even, dtype=dtype), jnp.asarray(1.0 - even, dtype=dtype)
+
+
+class OddEvenOperator(NamedTuple):
+    """Wilson-clover operator with parity machinery (a JAX pytree)."""
+
+    links: jnp.ndarray        # [4,T,Z,Y,X,3,3] = U/2
+    clover: jnp.ndarray       # [T,Z,Y,X,2,6,6]
+    clover_inv: jnp.ndarray   # [T,Z,Y,X,2,6,6] per-site inverse (used on one parity)
+    even: jnp.ndarray         # [T,Z,Y,X,1,1]
+    odd: jnp.ndarray
+
+    @classmethod
+    def from_wilson(cls, op: WilsonOperator) -> "OddEvenOperator":
+        even, odd = parity_masks(op.lattice, dtype=op.links.real.dtype)
+        cinv = jnp.linalg.inv(op.clover)
+        return cls(op.links, op.clover, cinv, even, odd)
+
+    @property
+    def lattice(self):
+        return self.links.shape[1:5]
+
+    # --- parity-restricted pieces ---
+
+    def diag(self, v):
+        return clover_apply(self.clover, v)
+
+    def diag_oo_inv(self, v):
+        """A_oo^{-1} v_o (input is masked to odd; output has odd support)."""
+        lat = v.shape[:4]
+        ph = (self.odd * v).reshape(*lat, 2, 6)
+        out = jnp.einsum("...cij,...cj->...ci", self.clover_inv, ph)
+        return out.reshape(*lat, 4, 3)
+
+    def diag_ee_inv(self, v):
+        lat = v.shape[:4]
+        ph = (self.even * v).reshape(*lat, 2, 6)
+        out = jnp.einsum("...cij,...cj->...ci", self.clover_inv, ph)
+        return out.reshape(*lat, 4, 3)
+
+    def hop_from_odd(self, v):
+        """D_eo v: hopping applied to odd-masked input; support is even."""
+        return dslash_hopping(self.links, self.odd * v)
+
+    def hop_from_even(self, v):
+        """D_oe v: hopping applied to even-masked input; support is odd."""
+        return dslash_hopping(self.links, self.even * v)
+
+    def schur(self, v_e):
+        """S v_e = A_ee v_e - D_eo A_oo^{-1} D_oe v_e (support even).
+
+        Reference apply_schur_complement_PRECISION, src/oddeven_generic.c:704-741.
+        """
+        ve = self.even * v_e
+        out = self.even * self.diag(ve)
+        t = self.diag_oo_inv(self.hop_from_even(ve))
+        return out - self.hop_from_odd(t)
+
+    def full(self, v):
+        return self.diag(v) + dslash_hopping(self.links, v)
+
+
+def solve_oddeven(oe: OddEvenOperator, b, tol=1e-10, restart_length=50,
+                  max_restarts=20, fgmres_fn=None):
+    """Full solve of D x = b via the even-site Schur complement.
+
+    Reference solve_oddeven_PRECISION (src/oddeven_generic.c:743-801):
+      b_e' = b_e - D_eo A_oo^{-1} b_o
+      solve S x_e = b_e'
+      x_o = A_oo^{-1} (b_o - D_oe x_e)
+    """
+    import dataclasses
+
+    from ..solvers import fgmres as _fgmres
+
+    solver = fgmres_fn or _fgmres
+    tmp = oe.diag_oo_inv(b)
+    b_e = oe.even * (b - oe.hop_from_odd(tmp))
+    res = solver(oe.schur, b_e, tol=tol, restart_length=restart_length,
+                 max_restarts=max_restarts)
+    x_e = oe.even * res.x
+    x_o = oe.diag_oo_inv(b - oe.hop_from_even(x_e))
+    return dataclasses.replace(res, x=x_e + x_o)
+
+
+class OddEvenPreconditioner:
+    """Fine-grid odd-even preconditioner (reference method 4):
+    a fixed number of GMRES iterations on the even-site Schur complement
+    followed by odd reconstruction (preconditioner dispatch for method>=4,
+    src/preconditioner.c:38-63; sp struct: restart length = block_iter,
+    num_restart = preconditioner cycles, src/schwarz_generic.c:78-84).
+
+    Runs in reduced precision (reference mixed_precision 1)."""
+
+    def __init__(self, op: WilsonOperator, block_iter: int = 4, cycles: int = 1,
+                 dtype=jnp.complex64):
+        self.oe = OddEvenOperator.from_wilson(op.astype(dtype))
+        self.block_iter = block_iter
+        self.cycles = cycles
+        self.dtype = dtype
+
+    def __call__(self, eta):
+        from ..solvers import fgmres as _fgmres
+
+        b = eta.astype(self.dtype)
+        oe = self.oe
+        b_e = oe.even * (b - oe.hop_from_odd(oe.diag_oo_inv(b)))
+        res = _fgmres(oe.schur, b_e, tol=0.0, restart_length=self.block_iter,
+                      max_restarts=self.cycles)
+        x_e = oe.even * res.x
+        x_o = oe.diag_oo_inv(b - oe.hop_from_even(x_e))
+        return x_e + x_o

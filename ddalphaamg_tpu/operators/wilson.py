@@ -98,8 +98,9 @@ def dslash_hopping(links: jnp.ndarray, phi: jnp.ndarray,
     """
     basis = get_basis(basis_name) if basis_name else get_basis()
     co = basis.co
-    val = jnp.asarray(basis.val, dtype=phi.dtype)
-    eta = jnp.zeros_like(phi)
+    out_dtype = jnp.result_type(phi.dtype, links.dtype)
+    val = jnp.asarray(basis.val, dtype=out_dtype)
+    eta = jnp.zeros(phi.shape, dtype=out_dtype)
     for mu in dirs:
         u = links[mu]
         v01 = val[mu, 0:2][:, None]           # phases for spin rows 0,1

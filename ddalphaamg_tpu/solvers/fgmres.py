@@ -131,7 +131,9 @@ def fgmres(
             total_iters += 1
             vj = V[j]
             if prec_flat is not None:
-                zj = prec_flat(vj)
+                # the preconditioner may run in lower precision (reference
+                # mixed_precision 1); the Krylov basis stays in b's dtype
+                zj = prec_flat(vj).astype(dtype)
                 Z = Z.at[j].set(zj)
                 w = op_flat(zj)
             else:

@@ -1,0 +1,62 @@
+"""SAP smoother: iteration parity with the reference binary and smoothing
+property checks."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from ddalphaamg_tpu import io as dio
+from ddalphaamg_tpu.geometry import Geometry
+from ddalphaamg_tpu.operators import wilson
+from ddalphaamg_tpu.smoothers import SchwarzPreconditioner
+from ddalphaamg_tpu.solvers import fgmres
+
+M0, CSW = -0.5, 1.0
+LAT = (4, 4, 4, 4)
+
+
+@pytest.fixture(scope="module")
+def op4(conf4):
+    U, _ = dio.read_gauge_field(conf4, anti_periodic=True)
+    return wilson.WilsonOperator.from_gauge(U, m0=M0, csw=CSW)
+
+
+@pytest.fixture(scope="module")
+def geom():
+    return Geometry(lattice=LAT, block=(2, 2, 2, 2))
+
+
+@pytest.fixture(scope="module")
+def rhs():
+    return jnp.ones((*LAT, 4, 3), dtype=complex)
+
+
+def test_sap_reduces_residual(op4, geom, rhs):
+    M = SchwarzPreconditioner(op4, geom, block_iter=4, cycles=1, odd_even=False)
+    x = M(rhs)
+    r = np.asarray(rhs) - np.asarray(wilson.d_plus_clover(op4, x))
+    assert np.linalg.norm(r) / np.linalg.norm(np.asarray(rhs)) < 0.5
+
+
+@pytest.mark.parametrize("odd_even,ref_iters,ref_relres", [
+    (False, 39, 6.449437e-11),   # tests/ground_truth/4x4_sap_oe0.log
+    (True, 37, 6.200857e-11),    # tests/ground_truth/4x4_sap_oe1.log
+])
+def test_sap_iteration_parity(op4, geom, rhs, odd_even, ref_iters, ref_relres):
+    M = SchwarzPreconditioner(op4, geom, block_iter=4, cycles=1, odd_even=odd_even)
+    res = fgmres(lambda v: wilson.d_plus_clover(op4, v), rhs,
+                 preconditioner=M, tol=1e-10, restart_length=50, max_restarts=20)
+    assert res.iterations == ref_iters, res.iterations
+    r = np.asarray(rhs) - np.asarray(wilson.d_plus_clover(op4, res.x))
+    rel = np.linalg.norm(r) / np.linalg.norm(np.asarray(rhs))
+    assert abs(rel - ref_relres) / ref_relres < 0.05, rel
+
+
+def test_post_smoothing_with_guess(op4, geom, rhs):
+    """smoother _RES path: starting from a partial solution must not regress."""
+    M = SchwarzPreconditioner(op4, geom, block_iter=4, cycles=2, odd_even=True)
+    x0 = M(rhs)
+    r0 = np.linalg.norm(np.asarray(rhs) - np.asarray(wilson.d_plus_clover(op4, x0)))
+    x1 = M.smooth(rhs, x0)
+    r1 = np.linalg.norm(np.asarray(rhs) - np.asarray(wilson.d_plus_clover(op4, x1)))
+    assert r1 < r0
