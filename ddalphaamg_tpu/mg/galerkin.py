@@ -1,0 +1,117 @@
+"""Galerkin coarse-grid operator:  D_c = P^H D P.
+
+Reference: coarse_operator_PRECISION_setup + set_coarse_self/neighbor_coupling
+(src/coarse_operator_generic.c:53-205), which accumulates aggregate-local
+spin-split applications.  TPU redesign: split the level operator by aggregate
+locality,
+
+    D = D_intra + sum_mu (D_cross_fwd,mu + D_cross_bwd,mu),
+
+apply each piece to all 2N globally-assembled basis vectors at once (batched
+whole-lattice stencils via vmap), and restrict:
+
+    A(x)        column j = P_x^H (D_intra      B_j)|_x      (self-coupling)
+    Df_mu(x)    column j = P_x^H (D_cross_fwd  B_j)|_x      (x <- x+mu)
+    Db_mu(x)    column j = P_x^H (D_cross_bwd  B_j)|_x      (x <- x-mu)
+
+No leakage: B_j's columns live on single aggregates and each split piece
+maps between fixed aggregate pairs, so the restriction isolates exactly one
+coupling block.  Everything is batched matmuls -- no sparse assembly, no
+index tables, setup cost ~ 2N x (2 full stencil applications).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..operators.coarse import CoarseOperator, coarse_hop
+from ..operators.wilson import (
+    WilsonOperator,
+    clover_apply,
+    dslash_bwd,
+    dslash_fwd,
+    dslash_hopping,
+)
+from .interpolation import Aggregation, assemble_basis, restrict
+
+
+def _agg_face_masks(lattice, coarsening):
+    """(upper, lower) face masks [4, T,Z,Y,X, 1, 1] over aggregates."""
+    up, lo = [], []
+    for mu in range(4):
+        coord = np.arange(lattice[mu])
+        shape = [1, 1, 1, 1]
+        shape[mu] = lattice[mu]
+        u = ((coord % coarsening[mu]) == (coarsening[mu] - 1)).reshape(shape)
+        l = ((coord % coarsening[mu]) == 0).reshape(shape)
+        up.append(np.broadcast_to(u, lattice).astype(np.float64))
+        lo.append(np.broadcast_to(l, lattice).astype(np.float64))
+    return np.stack(up)[..., None, None], np.stack(lo)[..., None, None]
+
+
+def _stack_columns(agg: Aggregation, P: jnp.ndarray, fields: jnp.ndarray) -> jnp.ndarray:
+    """Restrict a batch of 2N fields -> [Tc,Zc,Yc,Xc, 2N(row), 2N(col)]."""
+    cols = jax.vmap(lambda f: restrict(agg, P, f))(fields)  # [2N, Tc.., 2N]
+    return jnp.moveaxis(cols, 0, -1)
+
+
+def build_coarse_operator(op, agg: Aggregation, P: jnp.ndarray) -> CoarseOperator:
+    """Build D_c = P^H D P for a fine WilsonOperator or a CoarseOperator."""
+    if isinstance(op, WilsonOperator):
+        return _from_wilson(op, agg, P)
+    if isinstance(op, CoarseOperator):
+        return _from_coarse(op, agg, P)
+    raise TypeError(type(op))
+
+
+def _from_wilson(op: WilsonOperator, agg: Aggregation, P: jnp.ndarray) -> CoarseOperator:
+    dof_shape = (4, 3)
+    rdtype = op.links.real.dtype
+    up, _ = _agg_face_masks(agg.fine_lattice, agg.coarsening)
+    up = jnp.asarray(up, dtype=rdtype)
+    links_intra = op.links * (1.0 - up)
+    links_face = op.links * up  # U_mu(x) with x on the upper aggregate face
+
+    B = assemble_basis(agg, P, dof_shape)  # [2N, T,Z,Y,X,4,3]
+
+    intra = jax.vmap(lambda b: clover_apply(op.clover, b)
+                     + dslash_hopping(links_intra, b))(B)
+    A = _stack_columns(agg, P, intra)
+
+    Df, Db = [], []
+    for mu in range(4):
+        f = jax.vmap(lambda b: dslash_fwd(links_face, b, dirs=(mu,)))(B)
+        Df.append(_stack_columns(agg, P, f))
+        g = jax.vmap(lambda b: dslash_bwd(links_face, b, dirs=(mu,)))(B)
+        Db.append(_stack_columns(agg, P, g))
+    return CoarseOperator(A=A, Df=jnp.stack(Df), Db=jnp.stack(Db))
+
+
+def _from_coarse(cop: CoarseOperator, agg: Aggregation, P: jnp.ndarray) -> CoarseOperator:
+    dof_shape = (cop.dof,)
+    rdtype = cop.A.real.dtype
+    up, lo = _agg_face_masks(agg.fine_lattice, agg.coarsening)
+    up = jnp.asarray(up, dtype=rdtype)   # [4, lat, 1, 1] broadcasts over [.., d, d]
+    lo = jnp.asarray(lo, dtype=rdtype)
+    Df_intra, Df_face = cop.Df * (1.0 - up), cop.Df * up
+    Db_intra, Db_face = cop.Db * (1.0 - lo), cop.Db * lo
+
+    B = assemble_basis(agg, P, dof_shape)  # [2N, lat, d]
+
+    def intra_apply(b):
+        return (jnp.einsum("...ij,...j->...i", cop.A, b)
+                + coarse_hop(Df_intra, Db_intra, b))
+
+    A = _stack_columns(agg, P, jax.vmap(intra_apply)(B))
+
+    Df, Db = [], []
+    for mu in range(4):
+        f = jax.vmap(lambda b: jnp.einsum(
+            "...ij,...j->...i", Df_face[mu], jnp.roll(b, -1, axis=mu)))(B)
+        Df.append(_stack_columns(agg, P, f))
+        g = jax.vmap(lambda b: jnp.einsum(
+            "...ij,...j->...i", Db_face[mu], jnp.roll(b, 1, axis=mu)))(B)
+        Db.append(_stack_columns(agg, P, g))
+    return CoarseOperator(A=A, Df=jnp.stack(Df), Db=jnp.stack(Db))

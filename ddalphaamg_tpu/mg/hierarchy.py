@@ -1,0 +1,294 @@
+"""Multigrid hierarchy: level construction, V-/K-cycles, coarsest solver,
+and the adaptive (bootstrap) setup.
+
+Reference call paths rebuilt here:
+  * initial hierarchy: coarse_grid_correction_PRECISION_setup
+    (src/setup_generic.c:29-108) -- at every level: random test vectors
+    smoothed with 1,2,3 SAP cycles (interpolation_PRECISION_define,
+    src/setup_generic.c:215-236), aggregate-QR -> P, Galerkin coarse operator,
+    recurse;
+  * cycles: vcycle_PRECISION (src/vcycle_generic.c:91-141) with K-cycle
+    FGMRES wrappers on intermediate levels (kcycle_tol/length/restarts) and
+    the odd-even Schur GMRES coarsest solver
+    (coarse_solve_odd_even_PRECISION, src/coarse_oddeven_generic.c:1139);
+  * bootstrap: inv_iter_inv_fcycle_PRECISION (src/setup_generic.c:441-503)
+    with test_vector_PRECISION_update (:429) pulling coarse-level solutions
+    out of the cycle, re_setup_PRECISION (:278) rebuilding P and D_c, and
+    F-cycle scaled recursion into coarser levels.
+
+The reference's "gathering" (idle ranks on coarse levels) has no TPU
+equivalent component: coarse arrays are simply small; under a device mesh
+XLA re-shards or replicates them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import Geometry
+from ..operators.coarse import CoarseOperator, coarse_hop
+from ..operators.stencil import CoarseStencil, WilsonStencil
+from ..operators.wilson import WilsonOperator
+from ..smoothers.sap import SchwarzPreconditioner
+from ..solvers import fgmres
+from .galerkin import build_coarse_operator
+from .interpolation import Aggregation, build_interpolation, interpolate, restrict
+
+
+@dataclasses.dataclass
+class LevelConfig:
+    """Per-level parameters (reference ini `d<i> ...` keys)."""
+
+    lattice: tuple
+    block: tuple = (2, 2, 2, 2)
+    post_smooth_iter: int = 2
+    block_iter: int = 4
+    num_test_vectors: int = 20
+    setup_iter: int = 4
+    n_cy: int = 1  # preconditioner cycles
+
+
+@dataclasses.dataclass
+class MGConfig:
+    """Solver-wide parameters (reference ini global keys)."""
+
+    levels: list
+    kcycle: bool = True
+    kcycle_tol: float = 1e-1
+    kcycle_length: int = 5
+    kcycle_restarts: int = 2
+    coarse_tol: float = 5e-2
+    coarse_iter: int = 100
+    coarse_restart: int = 5
+    odd_even: bool = True
+    dtype: object = jnp.complex64
+    seed: int = 42
+
+    @property
+    def num_levels(self):
+        return len(self.levels)
+
+
+@dataclasses.dataclass
+class MGLevel:
+    depth: int
+    geom: Geometry
+    cfg: LevelConfig
+    stencil: object                      # WilsonStencil | CoarseStencil
+    smoother: Optional[SchwarzPreconditioner] = None
+    agg: Optional[Aggregation] = None    # to next level
+    P: Optional[jnp.ndarray] = None
+    test_vectors: Optional[jnp.ndarray] = None  # [N, *field]
+    next: Optional["MGLevel"] = None
+
+    @property
+    def is_coarsest(self):
+        return self.next is None
+
+    @property
+    def dof_shape(self):
+        return self.stencil.field_shape[4:]
+
+    def operator_for_galerkin(self):
+        if isinstance(self.stencil, WilsonStencil):
+            return WilsonOperator(self.stencil.links, self.stencil.clover)
+        return self.stencil.cop
+
+
+class Multigrid:
+    """The full AMG preconditioner: hierarchy + cycles + adaptive setup."""
+
+    def __init__(self, op: WilsonOperator, mg_cfg: MGConfig):
+        self.cfg = mg_cfg
+        self.stats = {"coarse_iterations": 0, "coarse_solves": 0}
+        self.fine = self._build(op)
+
+    # ------------------------------------------------------------------
+    # hierarchy construction
+    # ------------------------------------------------------------------
+
+    def _build(self, op: WilsonOperator) -> MGLevel:
+        cfg = self.cfg
+        key = jax.random.PRNGKey(cfg.seed)
+        levels: list[MGLevel] = []
+        for d, lc in enumerate(cfg.levels):
+            geom = Geometry(lattice=tuple(lc.lattice), block=tuple(lc.block))
+            if d == 0:
+                stencil = WilsonStencil.build(op, geom, dtype=cfg.dtype)
+            else:
+                prev = levels[-1]
+                agg = Aggregation(
+                    fine_lattice=prev.geom.lattice,
+                    coarsening=tuple(prev.geom.lattice[mu] // lc.lattice[mu]
+                                     for mu in range(4)),
+                    num_vectors=prev.cfg.num_test_vectors,
+                    fine_dpc=int(np.prod(prev.dof_shape)) // 2,
+                )
+                prev.agg = agg
+                key, sub = jax.random.split(key)
+                prev.test_vectors = self._initial_test_vectors(levels[-1], sub)
+                prev.P = build_interpolation(agg, prev.test_vectors)
+                cop = build_coarse_operator(prev.operator_for_galerkin(), agg, prev.P)
+                stencil = CoarseStencil.build(cop, geom)
+            level = MGLevel(depth=d, geom=geom, cfg=lc, stencil=stencil)
+            if d < cfg.num_levels - 1:
+                # reference: block odd-even solver at depth 0 only
+                level.smoother = SchwarzPreconditioner(
+                    stencil, block_iter=lc.block_iter, cycles=lc.post_smooth_iter,
+                    odd_even=(d == 0 and cfg.odd_even))
+            if levels:
+                levels[-1].next = level
+            levels.append(level)
+        return levels[0]
+
+    def _initial_test_vectors(self, level: MGLevel, key) -> jnp.ndarray:
+        """Random vectors progressively smoothed with 1, 2, 3 SAP cycles
+        (reference interpolation_PRECISION_define, src/setup_generic.c:215-246)."""
+        n = level.cfg.num_test_vectors
+        shape = (n, *level.stencil.field_shape)
+        ka, kb = jax.random.split(key)
+        rdtype = jnp.zeros((), self.cfg.dtype).real.dtype
+        tv = (jax.random.normal(ka, shape, dtype=rdtype)
+              + 1j * jax.random.normal(kb, shape, dtype=rdtype)).astype(self.cfg.dtype)
+        out = []
+        for i in range(n):
+            v = tv[i]
+            for ncy in (1, 2, 3):
+                v = level.smoother(v, cycles=ncy)
+            v = v / jnp.linalg.norm(v)
+            out.append(v)
+        return jnp.stack(out)
+
+    # ------------------------------------------------------------------
+    # cycles
+    # ------------------------------------------------------------------
+
+    def _coarsest_solve(self, level: MGLevel, b, tol=None, collect=None):
+        """Odd-even Schur GMRES on the coarsest level
+        (coarse_solve_odd_even_PRECISION)."""
+        cfg = self.cfg
+        s = level.stencil
+        tol = tol if tol is not None else cfg.coarse_tol
+        use_oe = cfg.odd_even and all(e % 2 == 0 for e in level.geom.lattice)
+        if use_oe:
+            def hop(v):
+                return coarse_hop(s.Df, s.Db, v)
+
+            def schur(v):
+                ve = s.even * v
+                return s.even * (s.self_op(ve) - hop(s.self_inv(hop(ve), s.odd)))
+
+            b_e = s.even * (b - hop(s.self_inv(b, s.odd)))
+            res = fgmres(schur, b_e, tol=tol, restart_length=cfg.coarse_iter,
+                         max_restarts=cfg.coarse_restart)
+            x_e = s.even * res.x
+            x = x_e + s.self_inv(b - hop(x_e), s.odd)
+        else:
+            res = fgmres(s.full_op, b, tol=tol, restart_length=cfg.coarse_iter,
+                         max_restarts=cfg.coarse_restart)
+            x = res.x
+        self.stats["coarse_iterations"] += res.iterations
+        self.stats["coarse_solves"] += 1
+        if collect is not None:
+            collect[level.depth] = x
+        return x
+
+    def vcycle(self, level: MGLevel, eta, x=None, kcycle_tol=None, collect=None):
+        """One preconditioning cycle at `level` (vcycle_PRECISION)."""
+        cfg = self.cfg
+        nxt = level.next
+        for i in range(level.cfg.n_cy):
+            r = eta if x is None else eta - level.stencil.full_op(x)
+            b_c = restrict(level.agg, level.P, r)
+            if nxt.is_coarsest:
+                x_c = self._coarsest_solve(nxt, b_c, collect=collect)
+            elif cfg.kcycle:
+                ktol = kcycle_tol if kcycle_tol is not None else cfg.kcycle_tol
+                res = fgmres(
+                    nxt.stencil.full_op, b_c, tol=ktol,
+                    restart_length=cfg.kcycle_length,
+                    max_restarts=cfg.kcycle_restarts,
+                    preconditioner=lambda v: self.vcycle(
+                        nxt, v, kcycle_tol=kcycle_tol, collect=collect),
+                )
+                x_c = res.x
+                if collect is not None:
+                    collect[nxt.depth] = x_c
+            else:
+                x_c = self.vcycle(nxt, b_c, kcycle_tol=kcycle_tol, collect=collect)
+                if collect is not None:
+                    collect[nxt.depth] = x_c
+            corr = interpolate(level.agg, level.P, x_c, level.dof_shape)
+            x = corr if x is None else x + corr
+            x = level.smoother.smooth(eta, x, cycles=level.cfg.post_smooth_iter)
+        return x
+
+    def __call__(self, eta):
+        """Depth-0 preconditioner application M(eta)."""
+        return self.vcycle(self.fine, eta.astype(self.cfg.dtype))
+
+    # ------------------------------------------------------------------
+    # adaptive (bootstrap) setup
+    # ------------------------------------------------------------------
+
+    def bootstrap_setup(self, setup_iter: Optional[int] = None):
+        """inv_iter_inv_fcycle_PRECISION: refine test vectors with the
+        current hierarchy, rebuilding P / D_c each iteration."""
+        it = setup_iter if setup_iter is not None else self.cfg.levels[0].setup_iter
+        if self.cfg.num_levels < 2 or it <= 0:
+            return
+        self._inv_iter_fcycle(self.fine, it)
+
+    def _gram_schmidt(self, tvs: jnp.ndarray) -> jnp.ndarray:
+        n = tvs.shape[0]
+        mat = tvs.reshape(n, -1).T  # [vol, N]
+        q, _ = jnp.linalg.qr(mat)
+        return q.T.reshape(tvs.shape)
+
+    def _inv_iter_fcycle(self, level: MGLevel, setup_iter: int):
+        cfg = self.cfg
+        for j in range(setup_iter):
+            level.test_vectors = self._gram_schmidt(level.test_vectors)
+            new_tvs = []
+            for i in range(level.cfg.num_test_vectors):
+                collect: dict[int, jnp.ndarray] = {}
+                # kcycle_tol = coarse_tol during setup (src/setup_generic.c:448)
+                x = self.vcycle(level, level.test_vectors[i],
+                                kcycle_tol=cfg.coarse_tol, collect=collect)
+                new_tvs.append(x / jnp.linalg.norm(x))
+                # update coarser-level test vectors from the cycle's coarse
+                # solutions (test_vector_PRECISION_update)
+                lvl = level.next
+                while lvl is not None and not lvl.is_coarsest:
+                    if lvl.depth in collect and lvl.test_vectors is not None:
+                        xc = collect[lvl.depth]
+                        lvl.test_vectors = lvl.test_vectors.at[i].set(
+                            xc / jnp.linalg.norm(xc))
+                    lvl = lvl.next
+            level.test_vectors = jnp.stack(new_tvs)
+            self.re_setup(level)
+            if level.depth == 0 and not level.next.is_coarsest:
+                sub = max(1, round((j + 1) * level.next.cfg.setup_iter / setup_iter))
+                self._inv_iter_fcycle(level.next, sub)
+        if level.depth > 0 and not level.next.is_coarsest:
+            sub = max(1, round(level.next.cfg.setup_iter * setup_iter
+                               / max(1, level.cfg.setup_iter)))
+            self._inv_iter_fcycle(level.next, sub)
+
+    def re_setup(self, level: MGLevel):
+        """Rebuild P and the Galerkin operator from `level` downward
+        (re_setup_PRECISION)."""
+        lvl = level
+        while lvl is not None and not lvl.is_coarsest:
+            lvl.P = build_interpolation(lvl.agg, lvl.test_vectors)
+            cop = build_coarse_operator(lvl.operator_for_galerkin(), lvl.agg, lvl.P)
+            nxt = lvl.next
+            nxt.stencil = CoarseStencil.build(cop, nxt.geom)
+            if nxt.smoother is not None:
+                nxt.smoother.replace_stencil(nxt.stencil)
+            lvl = nxt

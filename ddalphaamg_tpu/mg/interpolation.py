@@ -1,0 +1,132 @@
+"""Aggregation-based interpolation (prolongation), generic over levels.
+
+The interpolation P is built from N test vectors, block-orthonormalized per
+(aggregate x chirality) so that gamma5-compatibility holds: each coarse site
+carries 2N degrees of freedom ordered (chirality, k).  Reference:
+interpolation_PRECISION_define (src/setup_generic.c:191-275),
+gram_schmidt_on_aggregates_PRECISION (src/linalg_generic.c:400-455),
+restrict/interpolate (src/interpolation_generic.c:93-207).
+
+Chirality of a field with per-site dof d:
+  * fine spinors [.., 4, 3]: chirality = spin // 2 (gamma5 = diag(-,-,+,+)),
+    i.e. the first/last 6 of the 12 site dof;
+  * coarse fields [.., 2N]: first/last N dof.
+Both are the "first half / second half of the site dof" rule, so one generic
+implementation covers every level: fields enter in "chiral view"
+[T,Z,Y,X, 2, dpc] (dpc = dof per chirality).
+
+TPU realization: P is dense P[Tc,Zc,Yc,Xc, 2, m, N], m = agg_volume * dpc;
+orthonormalization is one batched QR; restrict/interpolate are batched
+[m, N] matmuls over all (coarse site, chirality) pairs -- MXU work, no index
+tables (contrast the reference's aggregate site loops).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Aggregation(NamedTuple):
+    """Geometry of one coarsening step.
+
+    fine_lattice: lattice of the level being coarsened
+    coarsening:   aggregate extents per dimension
+    num_vectors:  N test vectors (coarse dof = 2N)
+    fine_dpc:     fine-level dof per chirality (6 on the fine grid, N_prev on
+                  coarse levels)
+    """
+
+    fine_lattice: tuple
+    coarsening: tuple
+    num_vectors: int
+    fine_dpc: int = 6
+
+    @property
+    def coarse_lattice(self):
+        return tuple(self.fine_lattice[mu] // self.coarsening[mu] for mu in range(4))
+
+    @property
+    def agg_volume(self):
+        return int(np.prod(self.coarsening))
+
+    @property
+    def m(self):
+        """Rows per (aggregate, chirality) block."""
+        return self.agg_volume * self.fine_dpc
+
+
+def chiral_view(v: jnp.ndarray) -> jnp.ndarray:
+    """[T,Z,Y,X, *dof] -> [T,Z,Y,X, 2, dpc]."""
+    lat = v.shape[:4]
+    return v.reshape(*lat, 2, -1)
+
+
+def from_chiral_view(x: jnp.ndarray, dof_shape) -> jnp.ndarray:
+    lat = x.shape[:4]
+    return x.reshape(*lat, *dof_shape)
+
+
+def to_aggregates(agg: Aggregation, v: jnp.ndarray) -> jnp.ndarray:
+    """Field [T,Z,Y,X, *dof] -> [Tc,Zc,Yc,Xc, 2, m]."""
+    ct, cz, cy, cx = agg.coarse_lattice
+    at, az, ay, ax = agg.coarsening
+    x = chiral_view(v).reshape(ct, at, cz, az, cy, ay, cx, ax, 2, agg.fine_dpc)
+    # -> [Tc,Zc,Yc,Xc, chir, at,az,ay,ax, dpc]
+    x = x.transpose(0, 2, 4, 6, 8, 1, 3, 5, 7, 9)
+    return x.reshape(ct, cz, cy, cx, 2, agg.m)
+
+
+def from_aggregates(agg: Aggregation, x: jnp.ndarray, dof_shape) -> jnp.ndarray:
+    """Inverse of to_aggregates."""
+    ct, cz, cy, cx = agg.coarse_lattice
+    at, az, ay, ax = agg.coarsening
+    x = x.reshape(ct, cz, cy, cx, 2, at, az, ay, ax, agg.fine_dpc)
+    x = x.transpose(0, 5, 1, 6, 2, 7, 3, 8, 4, 9)
+    v = x.reshape(ct * at, cz * az, cy * ay, cx * ax, 2 * agg.fine_dpc)
+    return from_chiral_view(v.reshape(*v.shape[:4], 2, agg.fine_dpc), dof_shape)
+
+
+def build_interpolation(agg: Aggregation, test_vectors: jnp.ndarray) -> jnp.ndarray:
+    """Block-orthonormalize test vectors per (aggregate, chirality).
+
+    test_vectors: [N, T,Z,Y,X, *dof]
+    returns P: [Tc,Zc,Yc,Xc, 2, m, N] with orthonormal columns per (site, chir).
+    """
+    cols = jnp.stack([to_aggregates(agg, test_vectors[k])
+                      for k in range(agg.num_vectors)], axis=-1)
+    q, r = jnp.linalg.qr(cols)  # batched thin QR: [.., 2, m, N]
+    # fix column phases (QR sign ambiguity) so P is deterministic
+    d = jnp.diagonal(r, axis1=-2, axis2=-1)
+    absd = jnp.where(jnp.abs(d) == 0, 1.0, jnp.abs(d))
+    phase = jnp.where(jnp.abs(d) > 0, d / absd, 1.0)
+    return q * jnp.conj(phase)[..., None, :]
+
+
+def restrict(agg: Aggregation, P: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """v_c = P^H v:  [T,Z,Y,X, *dof] -> [Tc,Zc,Yc,Xc, 2N]."""
+    x = to_aggregates(agg, v)
+    out = jnp.einsum("...cmk,...cm->...ck", jnp.conj(P), x)
+    return out.reshape(*agg.coarse_lattice, 2 * agg.num_vectors)
+
+
+def interpolate(agg: Aggregation, P: jnp.ndarray, v_c: jnp.ndarray, dof_shape) -> jnp.ndarray:
+    """v = P v_c:  [Tc,Zc,Yc,Xc, 2N] -> fine field with dof_shape."""
+    vc = v_c.reshape(*agg.coarse_lattice, 2, agg.num_vectors)
+    x = jnp.einsum("...cmk,...ck->...cm", P, vc)
+    return from_aggregates(agg, x, dof_shape)
+
+
+def assemble_basis(agg: Aggregation, P: jnp.ndarray, dof_shape) -> jnp.ndarray:
+    """All 2N globally-assembled coarse basis vectors as fine fields:
+    B[c*N+k] = P e_{c,k} on every aggregate simultaneously.
+    Shape: [2N, T,Z,Y,X, *dof].  Input to the Galerkin triple product."""
+    z = jnp.zeros_like(P)
+    cols = jnp.concatenate([
+        jnp.stack([P[..., 0, :, :], z[..., 1, :, :]], axis=-3),
+        jnp.stack([z[..., 0, :, :], P[..., 1, :, :]], axis=-3),
+    ], axis=-1)  # [Tc,Zc,Yc,Xc, 2, m, 2N]
+    return jax.vmap(lambda c: from_aggregates(agg, c, dof_shape), in_axes=-1)(cols)

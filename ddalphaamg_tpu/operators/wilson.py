@@ -123,6 +123,49 @@ def dslash_hopping(links: jnp.ndarray, phi: jnp.ndarray,
     return eta
 
 
+def dslash_fwd(links: jnp.ndarray, phi: jnp.ndarray,
+               basis_name: str | None = None, dirs=(T, Z, Y, X)) -> jnp.ndarray:
+    """Forward-hop part only: - sum_mu D_mu(x) (1-gamma_mu) phi(x+mu).
+
+    With face-masked links this yields the aggregate cross-coupling terms of
+    the Galerkin construction (reference d_neighbor_aggregate_PRECISION,
+    src/dirac_generic.c:401-462)."""
+    basis = get_basis(basis_name) if basis_name else get_basis()
+    co = basis.co
+    out_dtype = jnp.result_type(phi.dtype, links.dtype)
+    val = jnp.asarray(basis.val, dtype=out_dtype)
+    eta = jnp.zeros(phi.shape, dtype=out_dtype)
+    for mu in dirs:
+        u = links[mu]
+        v01, v23 = val[mu, 0:2][:, None], val[mu, 2:4][:, None]
+        c01, c23 = co[mu, 0:2], co[mu, 2:4]
+        phi_f = jnp.roll(phi, -1, axis=mu)
+        half = phi_f[..., 0:2, :] - v01 * phi_f[..., c01, :]
+        hf = _su3_mul(u, half)
+        eta = eta.at[..., 0:2, :].add(-hf)
+        eta = eta.at[..., 2:4, :].add(v23 * hf[..., c23, :])
+    return eta
+
+
+def dslash_bwd(links: jnp.ndarray, phi: jnp.ndarray,
+               basis_name: str | None = None, dirs=(T, Z, Y, X)) -> jnp.ndarray:
+    """Backward-hop part only: - sum_mu D_mu(x-mu)^H (1+gamma_mu) phi(x-mu)."""
+    basis = get_basis(basis_name) if basis_name else get_basis()
+    co = basis.co
+    out_dtype = jnp.result_type(phi.dtype, links.dtype)
+    val = jnp.asarray(basis.val, dtype=out_dtype)
+    eta = jnp.zeros(phi.shape, dtype=out_dtype)
+    for mu in dirs:
+        u = links[mu]
+        v01, v23 = val[mu, 0:2][:, None], val[mu, 2:4][:, None]
+        c01, c23 = co[mu, 0:2], co[mu, 2:4]
+        half_b = phi[..., 0:2, :] + v01 * phi[..., c01, :]
+        hb = jnp.roll(_su3_mul_dag(u, half_b), 1, axis=mu)
+        eta = eta.at[..., 0:2, :].add(-hb)
+        eta = eta.at[..., 2:4, :].add(-v23 * hb[..., c23, :])
+    return eta
+
+
 def d_plus_clover(op: WilsonOperator, phi: jnp.ndarray,
                   basis_name: str | None = None) -> jnp.ndarray:
     """Full Wilson-clover operator D phi (reference d_plus_clover_PRECISION)."""

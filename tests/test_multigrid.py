@@ -1,0 +1,99 @@
+"""Multigrid correctness: interpolation/Galerkin invariants (the reference's
+coarse_operator test_routine, src/coarse_operator_generic.c:417-559) and
+2-level solve iteration parity with the reference binary."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ddalphaamg_tpu import io as dio
+from ddalphaamg_tpu.operators import wilson
+from ddalphaamg_tpu.operators.coarse import coarse_apply, coarse_gamma5
+from ddalphaamg_tpu.mg.interpolation import (
+    Aggregation, build_interpolation, restrict, interpolate,
+)
+from ddalphaamg_tpu.mg.galerkin import build_coarse_operator
+from ddalphaamg_tpu.mg.hierarchy import Multigrid, MGConfig, LevelConfig
+from ddalphaamg_tpu.solvers import fgmres
+
+M0, CSW = -0.5, 1.0
+LAT = (4, 4, 4, 4)
+
+
+@pytest.fixture(scope="module")
+def op4(conf4):
+    U, _ = dio.read_gauge_field(conf4, anti_periodic=True)
+    return wilson.WilsonOperator.from_gauge(U, m0=M0, csw=CSW)
+
+
+@pytest.fixture(scope="module")
+def agg():
+    return Aggregation(fine_lattice=LAT, coarsening=(2, 2, 2, 2),
+                       num_vectors=4, fine_dpc=6)
+
+
+@pytest.fixture(scope="module")
+def P(op4, agg):
+    rng = np.random.default_rng(0)
+    tvs = jnp.asarray(rng.normal(size=(4, *LAT, 4, 3))
+                      + 1j * rng.normal(size=(4, *LAT, 4, 3)))
+    return build_interpolation(agg, tvs)
+
+
+def test_p_orthonormal(P):
+    g = jnp.einsum("...cmi,...cmj->...cij", jnp.conj(P), P)
+    np.testing.assert_allclose(np.asarray(g),
+                               np.broadcast_to(np.eye(4), g.shape), atol=1e-12)
+
+
+def test_restrict_interpolate_identity(agg, P):
+    rng = np.random.default_rng(1)
+    vc = jnp.asarray(rng.normal(size=(2, 2, 2, 2, 8))
+                     + 1j * rng.normal(size=(2, 2, 2, 2, 8)))
+    vc2 = restrict(agg, P, interpolate(agg, P, vc, (4, 3)))
+    np.testing.assert_allclose(np.asarray(vc2), np.asarray(vc), atol=1e-12)
+
+
+def test_galerkin_consistency(op4, agg, P):
+    """P^H D P == D_c as operators."""
+    rng = np.random.default_rng(2)
+    cop = build_coarse_operator(op4, agg, P)
+    vc = jnp.asarray(rng.normal(size=(2, 2, 2, 2, 8))
+                     + 1j * rng.normal(size=(2, 2, 2, 2, 8)))
+    lhs = coarse_apply(cop, vc)
+    rhs = restrict(agg, P, wilson.d_plus_clover(
+        op4, interpolate(agg, P, vc, (4, 3))))
+    np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), atol=1e-11)
+
+
+def test_coarse_gamma5_hermiticity(op4, agg, P):
+    """gamma5_c D_c is Hermitian (gamma5-compatible coarsening)."""
+    rng = np.random.default_rng(3)
+    cop = build_coarse_operator(op4, agg, P)
+    x = jnp.asarray(rng.normal(size=(2, 2, 2, 2, 8)) + 1j * rng.normal(size=(2, 2, 2, 2, 8)))
+    y = jnp.asarray(rng.normal(size=(2, 2, 2, 2, 8)) + 1j * rng.normal(size=(2, 2, 2, 2, 8)))
+    lhs = np.vdot(np.asarray(y), np.asarray(coarse_gamma5(coarse_apply(cop, x))))
+    rhs = np.vdot(np.asarray(coarse_gamma5(coarse_apply(cop, y))), np.asarray(x))
+    assert abs(lhs - rhs) / abs(lhs) < 1e-11
+
+
+@pytest.mark.slow
+def test_two_level_iteration_parity(op4):
+    """Ground truth (tests/ground_truth/4x4_2lvl_boot.log): 11 iterations.
+    Test-vector randomness differs from the reference's fixed C rand(), so
+    the target is <= 12 iterations (equal or better)."""
+    cfg = MGConfig(levels=[
+        LevelConfig(lattice=LAT, block=(2, 2, 2, 2), post_smooth_iter=2,
+                    block_iter=4, num_test_vectors=20, setup_iter=4),
+        LevelConfig(lattice=(2, 2, 2, 2), block=(1, 1, 1, 1)),
+    ])
+    mg = Multigrid(op4, cfg)
+    mg.bootstrap_setup()
+    b = jnp.ones((*LAT, 4, 3), dtype=complex)
+    res = fgmres(lambda v: wilson.d_plus_clover(op4, v), b,
+                 preconditioner=mg, tol=1e-10, restart_length=50, max_restarts=20)
+    assert res.converged
+    r = np.asarray(b) - np.asarray(wilson.d_plus_clover(op4, res.x))
+    assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1e-9
+    assert res.iterations <= 12, res.iterations
