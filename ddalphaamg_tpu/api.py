@@ -1,0 +1,212 @@
+"""Library-embedding API, mirroring the reference C API (dd_alpha_amg.h:42-84):
+init / set_conf / setup / setup_update / wilson_solve / preconditioner / free.
+
+Usage:
+
+    from ddalphaamg_tpu import api, config
+    params = config.parse_ini("sample.ini")        # or build SolverParams
+    solver = api.Solver(params)
+    plaq = solver.set_conf(U)                       # U[4,T,Z,Y,X,3,3] raw links
+    status = solver.setup()                         # hierarchy + bootstrap
+    x, info = solver.solve(rhs, tol=1e-10)
+
+The reference's conf_index_fct/vector_index_fct user-layout callbacks are
+replaced by the documented dense layouts (numpy views are cheap); its
+external-threading variants have no TPU meaning (XLA owns parallelism).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import io as dio
+from .config import SolverParams, make_rhs
+from .gauge import average_plaquette
+from .geometry import Geometry
+from .mg.hierarchy import LevelConfig, MGConfig, Multigrid
+from .operators.oddeven import OddEvenPreconditioner
+from .operators.wilson import WilsonOperator, d_plus_clover, d_dagger, shift_diagonal
+from .smoothers import SchwarzPreconditioner
+from .solvers import bicgstab, cgn, fgmres
+
+
+@dataclasses.dataclass
+class SetupStatus:
+    """Reference dd_alpha_amg_setup_status (dd_alpha_amg_setup_status.h)."""
+
+    setup_time: float = 0.0
+    iterations: int = 0
+    gauge_updates_since_setup: int = 0
+
+
+@dataclasses.dataclass
+class SolveInfo:
+    iterations: int
+    relres: float
+    converged: bool
+    solve_time: float
+    coarse_average: float = 0.0
+
+
+_SCHEMES = {1: "additive", 2: "red_black", 3: "sixteen_color"}
+
+
+class Solver:
+    """Wilson-clover solver with the reference's method selection:
+    method -1 CGN, 0 GMRES, 1/2/3 FGMRES + Schwarz (+AMG if interpolation>0
+    and num_levels>1), 4 FGMRES + odd-even GMRES, 5 FGMRES + BiCGstab."""
+
+    def __init__(self, params: SolverParams):
+        self.p = params.validate()
+        self.op: Optional[WilsonOperator] = None
+        self.mg: Optional[Multigrid] = None
+        self.preconditioner = None
+        self.status = SetupStatus()
+        self._inner_dtype = jnp.complex64 if params.mixed_precision else jnp.complex128
+
+    # --- configuration -------------------------------------------------
+
+    @property
+    def lattice(self):
+        return tuple(self.p.depth[0].global_lattice)
+
+    def read_conf(self, path: Optional[str] = None) -> float:
+        path = path or self.p.configuration
+        U, header_plaq = dio.read_gauge_field(path, anti_periodic=self.p.anti_pbc)
+        plaq = self.set_conf(U, links_have_bc=True)
+        return plaq, header_plaq
+
+    def set_conf(self, U, links_have_bc: bool = False) -> float:
+        """Store the gauge field and build the Dirac operator; returns the
+        average plaquette (reference dd_alpha_amg_set_conf)."""
+        U = jnp.asarray(U, dtype=jnp.complex128)
+        if not links_have_bc and self.p.anti_pbc:
+            U = U.at[0, -1].multiply(-1.0)
+        self.op = WilsonOperator.from_gauge(U, m0=self.p.m0, csw=self.p.csw)
+        self.status.gauge_updates_since_setup += 1
+        return float(average_plaquette(U))
+
+    # --- setup ---------------------------------------------------------
+
+    def _mg_config(self) -> MGConfig:
+        p = self.p
+        return MGConfig(
+            levels=[LevelConfig(
+                lattice=tuple(d.global_lattice), block=tuple(d.block_lattice),
+                post_smooth_iter=d.post_smooth_iter, block_iter=d.block_iter,
+                num_test_vectors=d.test_vectors, setup_iter=d.setup_iter,
+                n_cy=d.preconditioner_cycles,
+            ) for d in p.depth[:p.num_levels]],
+            kcycle=p.kcycle, kcycle_tol=p.kcycle_tol,
+            kcycle_length=p.kcycle_length, kcycle_restarts=p.kcycle_restarts,
+            coarse_tol=p.coarse_tol, coarse_iter=p.coarse_iter,
+            coarse_restart=p.coarse_restart, odd_even=p.odd_even,
+            scheme=_SCHEMES.get(p.method, "red_black"),
+            dtype=self._inner_dtype,
+            seed=int(time.time()) if p.randomize_test_vectors else p.seed,
+        )
+
+    def setup(self) -> SetupStatus:
+        """Build the preconditioner (reference dd_alpha_amg_setup =
+        method_setup + method_update)."""
+        assert self.op is not None, "call set_conf first"
+        p = self.p
+        t0 = time.time()
+        d0 = p.depth[0]
+        geom = Geometry(lattice=self.lattice, block=tuple(d0.block_lattice))
+
+        if p.method in (1, 2, 3):
+            if p.num_levels > 1 and p.interpolation > 0:
+                self.mg = Multigrid(self.op, self._mg_config())
+                if p.interpolation >= 2:
+                    self.mg.bootstrap_setup()
+                self.preconditioner = self.mg
+            else:
+                self.preconditioner = SchwarzPreconditioner(
+                    self.op, geom, block_iter=d0.block_iter,
+                    cycles=d0.preconditioner_cycles, odd_even=p.odd_even,
+                    dtype=self._inner_dtype, scheme=_SCHEMES[p.method])
+        elif p.method == 4:
+            self.preconditioner = OddEvenPreconditioner(
+                self.op, block_iter=d0.block_iter,
+                cycles=d0.preconditioner_cycles, dtype=self._inner_dtype)
+        elif p.method == 5:
+            op64 = self.op.astype(self._inner_dtype)
+
+            def bicg_prec(eta):
+                res = bicgstab(lambda v: d_plus_clover(op64, v),
+                               eta.astype(self._inner_dtype),
+                               tol=1e-1, max_iter=50)
+                return res.x
+            self.preconditioner = bicg_prec
+        else:
+            self.preconditioner = None
+        self.status.setup_time = time.time() - t0
+        self.status.gauge_updates_since_setup = 0
+        return self.status
+
+    def update_setup(self, iterations: int = 1) -> SetupStatus:
+        """Extra bootstrap iterations (reference dd_alpha_amg_setup_update)."""
+        assert self.mg is not None
+        t0 = time.time()
+        self.mg.bootstrap_setup(iterations)
+        self.status.setup_time += time.time() - t0
+        return self.status
+
+    # --- solves ----------------------------------------------------------
+
+    def apply_operator(self, v):
+        return d_plus_clover(self.op, jnp.asarray(v))
+
+    def apply_preconditioner(self, v):
+        """Reference dd_alpha_amg_preconditioner."""
+        assert self.preconditioner is not None
+        return self.preconditioner(jnp.asarray(v))
+
+    def solve(self, rhs=None, tol: Optional[float] = None,
+              x0=None) -> tuple[np.ndarray, SolveInfo]:
+        """Solve D x = rhs (reference dd_alpha_amg_wilson_solve /
+        solve_driver)."""
+        assert self.op is not None
+        p = self.p
+        tol = tol if tol is not None else p.tol
+        if rhs is None:
+            rhs = make_rhs(p.right_hand_side, self.lattice, seed=p.seed)
+        b = jnp.asarray(rhs, dtype=jnp.complex128)
+
+        if self.mg is not None:
+            self.mg.stats["coarse_iterations"] = 0
+            self.mg.stats["coarse_solves"] = 0
+
+        t0 = time.time()
+        if p.method == -1:
+            res = cgn(lambda v: d_plus_clover(self.op, v),
+                      lambda v: d_dagger(self.op, v), b, x0=x0, tol=tol,
+                      max_iter=p.restart_length * p.max_restarts)
+        else:
+            res = fgmres(lambda v: d_plus_clover(self.op, v), b, x0=x0,
+                         preconditioner=self.preconditioner, tol=tol,
+                         restart_length=p.restart_length,
+                         max_restarts=p.max_restarts)
+        dt = time.time() - t0
+        coarse_avg = 0.0
+        if self.mg is not None and res.iterations:
+            coarse_avg = self.mg.stats["coarse_iterations"] / res.iterations
+        info = SolveInfo(iterations=res.iterations, relres=res.relres,
+                         converged=res.converged, solve_time=dt,
+                         coarse_average=coarse_avg)
+        return np.asarray(res.x), info
+
+    def shift_update(self, new_m0: float):
+        """Change the mass parameter and re-propagate through the hierarchy
+        (reference shift_update, src/dirac.c:670-691)."""
+        delta = new_m0 - self.p.m0
+        self.p.m0 = new_m0
+        self.op = shift_diagonal(self.op, delta)
+        if self.preconditioner is not None:
+            self.setup()

@@ -1,0 +1,58 @@
+"""Command-line driver (reference main.c / top_level.c analog):
+
+    python -m ddalphaamg_tpu.cli <input.ini> [--platform cpu|tpu]
+
+Reads a reference-format input file, builds the solver, runs the solve, and
+prints a reference-style summary block.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="TPU-native DD-alphaAMG solver")
+    ap.add_argument("ini", help="input parameter file (reference format)")
+    ap.add_argument("--platform", default=None, help="force a JAX platform (cpu/tpu)")
+    ap.add_argument("--tol", type=float, default=None)
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    from . import api, config
+    from .operators.wilson import d_plus_clover
+
+    params = config.parse_ini(args.ini)
+    solver = api.Solver(params)
+
+    print(f"configuration: {params.configuration}")
+    plaq, header = solver.read_conf()
+    print(f"Desired average plaquette: {header:.13f} in [0,3]")
+    print(f"Computed average plaquette: {plaq:.13f} in [0,3]")
+
+    t0 = time.time()
+    solver.setup()
+    print(f"setup time: {time.time() - t0:.3f} seconds")
+
+    rhs = config.make_rhs(params.right_hand_side, solver.lattice, seed=params.seed)
+    x, info = solver.solve(rhs, tol=args.tol)
+
+    r = np.asarray(rhs) - np.asarray(d_plus_clover(solver.op, x))
+    exact = np.linalg.norm(r) / np.linalg.norm(np.asarray(rhs))
+    print("+----------------------------------------------------------+")
+    print(f"|       FGMRES iterations: {info.iterations:<6d} coarse average: {info.coarse_average:<6.2f}   |")
+    print(f"| exact relative residual: ||r||/||b|| = {exact:e}      |")
+    print(f"| elapsed wall clock time: {info.solve_time:<8.4f} seconds                |")
+    print("+----------------------------------------------------------+")
+    return 0 if info.converged else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -66,6 +66,7 @@ class MGConfig:
     coarse_iter: int = 100
     coarse_restart: int = 5
     odd_even: bool = True
+    scheme: str = "red_black"   # Schwarz variant (reference method 1/2/3)
     dtype: object = jnp.complex64
     seed: int = 42
 
@@ -140,7 +141,7 @@ class Multigrid:
                 # reference: block odd-even solver at depth 0 only
                 level.smoother = SchwarzPreconditioner(
                     stencil, block_iter=lc.block_iter, cycles=lc.post_smooth_iter,
-                    odd_even=(d == 0 and cfg.odd_even))
+                    odd_even=(d == 0 and cfg.odd_even), scheme=cfg.scheme)
             if levels:
                 levels[-1].next = level
             levels.append(level)

@@ -34,13 +34,32 @@ import numpy as np
 from ..geometry import Geometry
 
 
-def color_masks(geom: Geometry) -> tuple[np.ndarray, np.ndarray]:
-    """Site-level (red, black) masks [T,Z,Y,X] from the block coloring."""
-    site = geom.block_parity
-    for mu in range(4):
-        site = np.repeat(site, geom.block[mu], axis=mu)
-    site = site.astype(np.float64)
-    return 1.0 - site, site  # red = block parity 0
+def color_masks(geom: Geometry, scheme: str = "red_black") -> list[np.ndarray]:
+    """Site-level color masks [T,Z,Y,X] from the block coloring.
+
+    schemes (reference method 1/2/3, src/schwarz_generic.c:1077/1260/1652):
+      additive      -- one color (all blocks solved from the same residual)
+      red_black     -- two colors by block parity (red = parity 0)
+      sixteen_color -- 2^4 classes by per-dimension block-coordinate parity
+    """
+    if scheme == "additive":
+        return [np.ones(geom.lattice, dtype=np.float64)]
+    grids = np.meshgrid(*[np.arange(n) for n in geom.block_grid], indexing="ij")
+    if scheme == "red_black":
+        site = sum(grids) % 2
+        ncolors, color_of = 2, site
+    elif scheme == "sixteen_color":
+        color_of = sum((g % 2) << i for i, g in enumerate(grids))
+        ncolors = 16
+    else:
+        raise ValueError(scheme)
+    masks = []
+    for c in range(ncolors):
+        m = (color_of == c).astype(np.float64)
+        for mu in range(4):
+            m = np.repeat(m, geom.block[mu], axis=mu)
+        masks.append(m)
+    return masks
 
 
 def _bcast(mask: jnp.ndarray, field: jnp.ndarray) -> jnp.ndarray:
@@ -102,28 +121,30 @@ def _block_solve(s, r, block_iter: int, odd_even: bool):
     return s.even * d_e + d_o
 
 
-def _sweep(s, x, r, red, black, cycles: int, block_iter: int, odd_even: bool):
+def _sweep(s, x, r, colors, cycles: int, block_iter: int, odd_even: bool):
+    ncolors = len(colors)
     for k in range(cycles):
-        for i, mask in enumerate((red, black)):
-            delta = _block_solve(s, _bcast(mask, r) * r, block_iter, odd_even)
+        for i, mask in enumerate(colors):
+            masked = r if ncolors == 1 else _bcast(mask, r) * r
+            delta = _block_solve(s, masked, block_iter, odd_even)
             x = x + delta
-            if k == cycles - 1 and i == 1:
+            if k == cycles - 1 and i == ncolors - 1:
                 break  # final residual update not needed
             r = r - s.full_op(delta)
     return x
 
 
 @partial(jax.jit, static_argnames=("cycles", "block_iter", "odd_even"))
-def sap_smooth(s, red, black, eta, cycles: int, block_iter: int, odd_even: bool):
+def sap_smooth(s, colors, eta, cycles: int, block_iter: int, odd_even: bool):
     """M(eta) from zero initial guess (preconditioner application)."""
-    return _sweep(s, jnp.zeros_like(eta), eta, red, black, cycles, block_iter, odd_even)
+    return _sweep(s, jnp.zeros_like(eta), eta, colors, cycles, block_iter, odd_even)
 
 
 @partial(jax.jit, static_argnames=("cycles", "block_iter", "odd_even"))
-def sap_smooth_from(s, red, black, eta, x, cycles: int, block_iter: int, odd_even: bool):
+def sap_smooth_from(s, colors, eta, x, cycles: int, block_iter: int, odd_even: bool):
     """Post-smoothing with initial guess x (reference smoother _RES path)."""
     r = eta - s.full_op(x)
-    return _sweep(s, x, r, red, black, cycles, block_iter, odd_even)
+    return _sweep(s, x, r, colors, cycles, block_iter, odd_even)
 
 
 class SchwarzPreconditioner:
@@ -136,7 +157,7 @@ class SchwarzPreconditioner:
     enables it at depth 0 only)."""
 
     def __init__(self, stencil, block_iter: int = 4, cycles: int = 1,
-                 odd_even: bool = True):
+                 odd_even: bool = True, scheme: str = "red_black"):
         self.s = stencil
         self.geom = stencil.geom
         self.block_iter = block_iter
@@ -144,16 +165,15 @@ class SchwarzPreconditioner:
         self.odd_even = odd_even
         self.dtype = stencil.dtype
         rdtype = jnp.zeros((), self.dtype).real.dtype
-        red, black = color_masks(self.geom)
-        self.red = jnp.asarray(red, dtype=rdtype)
-        self.black = jnp.asarray(black, dtype=rdtype)
+        self.colors = tuple(jnp.asarray(m, dtype=rdtype)
+                            for m in color_masks(self.geom, scheme))
 
     def __call__(self, eta, cycles: int | None = None):
-        return sap_smooth(self.s, self.red, self.black, eta.astype(self.dtype),
+        return sap_smooth(self.s, self.colors, eta.astype(self.dtype),
                           cycles or self.cycles, self.block_iter, self.odd_even)
 
     def smooth(self, eta, x, cycles: int | None = None):
-        return sap_smooth_from(self.s, self.red, self.black, eta.astype(self.dtype),
+        return sap_smooth_from(self.s, self.colors, eta.astype(self.dtype),
                                x.astype(self.dtype), cycles or self.cycles,
                                self.block_iter, self.odd_even)
 
