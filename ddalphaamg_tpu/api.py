@@ -26,6 +26,7 @@ import numpy as np
 
 from . import io as dio
 from .config import SolverParams, make_rhs
+from .utils import default_complex_dtype, device_get_complex, device_put_complex
 from .gauge import average_plaquette
 from .geometry import Geometry
 from .mg.hierarchy import LevelConfig, MGConfig, Multigrid
@@ -67,7 +68,8 @@ class Solver:
         self.mg: Optional[Multigrid] = None
         self.preconditioner = None
         self.status = SetupStatus()
-        self._inner_dtype = jnp.complex64 if params.mixed_precision else jnp.complex128
+        self._inner_dtype = (jnp.complex64 if params.mixed_precision
+                             else default_complex_dtype())
 
     # --- configuration -------------------------------------------------
 
@@ -84,7 +86,7 @@ class Solver:
     def set_conf(self, U, links_have_bc: bool = False) -> float:
         """Store the gauge field and build the Dirac operator; returns the
         average plaquette (reference dd_alpha_amg_set_conf)."""
-        U = jnp.asarray(U, dtype=jnp.complex128)
+        U = device_put_complex(U, dtype=default_complex_dtype())
         if not links_have_bc and self.p.anti_pbc:
             U = U.at[0, -1].multiply(-1.0)
         self.op = WilsonOperator.from_gauge(U, m0=self.p.m0, csw=self.p.csw)
@@ -177,7 +179,7 @@ class Solver:
         tol = tol if tol is not None else p.tol
         if rhs is None:
             rhs = make_rhs(p.right_hand_side, self.lattice, seed=p.seed)
-        b = jnp.asarray(rhs, dtype=jnp.complex128)
+        b = device_put_complex(rhs, dtype=default_complex_dtype())
 
         if self.mg is not None:
             self.mg.stats["coarse_iterations"] = 0
@@ -200,7 +202,7 @@ class Solver:
         info = SolveInfo(iterations=res.iterations, relres=res.relres,
                          converged=res.converged, solve_time=dt,
                          coarse_average=coarse_avg)
-        return np.asarray(res.x), info
+        return device_get_complex(res.x), info
 
     def shift_update(self, new_m0: float):
         """Change the mass parameter and re-propagate through the hierarchy

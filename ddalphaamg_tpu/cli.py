@@ -28,6 +28,7 @@ def main(argv=None):
 
     from . import api, config
     from .operators.wilson import d_plus_clover
+    from .utils import device_get_complex, device_put_complex
 
     params = config.parse_ini(args.ini)
     solver = api.Solver(params)
@@ -44,7 +45,8 @@ def main(argv=None):
     rhs = config.make_rhs(params.right_hand_side, solver.lattice, seed=params.seed)
     x, info = solver.solve(rhs, tol=args.tol)
 
-    r = np.asarray(rhs) - np.asarray(d_plus_clover(solver.op, x))
+    r = np.asarray(rhs) - device_get_complex(
+        d_plus_clover(solver.op, device_put_complex(x)))
     exact = np.linalg.norm(r) / np.linalg.norm(np.asarray(rhs))
     print("+----------------------------------------------------------+")
     print(f"|       FGMRES iterations: {info.iterations:<6d} coarse average: {info.coarse_average:<6.2f}   |")

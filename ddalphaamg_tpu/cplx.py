@@ -1,0 +1,327 @@
+"""Split-complex arrays: the TPU-native complex representation.
+
+The TPU runtime in this environment does not execute complex-dtype ops at
+all (every complex HLO fails with UNIMPLEMENTED at run time, and complex
+arrays cannot cross the host boundary).  The TPU-native representation is a
+pair of real arrays (re, im) -- `CArray` -- with complex arithmetic expanded
+manually; contractions use the 3-multiplication (Karatsuba) form so einsums
+cost 3 real MXU contractions instead of 4.
+
+Every helper in this module dispatches on type: given ordinary jnp complex
+arrays it falls through to the corresponding jnp op, so the same solver code
+runs in "complex mode" (CPU: complex64/128, convenient and exactly matching
+the parity tests) and "split mode" (TPU or CPU: a pytree of two real
+arrays).  Real-valued arrays (masks, scales) multiply either representation
+transparently.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class _AtSetter:
+    def __init__(self, arr: "CArray", idx):
+        self._arr = arr
+        self._idx = idx
+
+    def set(self, val):
+        val = as_carray(val)
+        return CArray(self._arr.re.at[self._idx].set(val.re),
+                      self._arr.im.at[self._idx].set(val.im))
+
+    def add(self, val):
+        val = as_carray(val)
+        return CArray(self._arr.re.at[self._idx].add(val.re),
+                      self._arr.im.at[self._idx].add(val.im))
+
+    def multiply(self, val):
+        if isinstance(val, CArray) or np.iscomplexobj(np.asarray(val)):
+            val = as_carray(val)
+            old = self._arr[self._idx]
+            new = cmul(old, val)
+            return self[self._idx].set(new)  # pragma: no cover
+        return CArray(self._arr.re.at[self._idx].multiply(val),
+                      self._arr.im.at[self._idx].multiply(val))
+
+
+class _At:
+    def __init__(self, arr: "CArray"):
+        self._arr = arr
+
+    def __getitem__(self, idx):
+        return _AtSetter(self._arr, idx)
+
+
+class CArray(NamedTuple):
+    """A complex array as two real arrays (a JAX pytree)."""
+
+    re: jnp.ndarray
+    im: jnp.ndarray
+
+    # --- array-protocol conveniences ---
+    @property
+    def shape(self):
+        return self.re.shape
+
+    @property
+    def ndim(self):
+        return self.re.ndim
+
+    @property
+    def rdtype(self):
+        return self.re.dtype
+
+    @property
+    def at(self):
+        return _At(self)
+
+    def __getitem__(self, idx):
+        return CArray(self.re[idx], self.im[idx])
+
+    def reshape(self, *shape):
+        return CArray(self.re.reshape(*shape), self.im.reshape(*shape))
+
+    def transpose(self, *axes):
+        return CArray(self.re.transpose(*axes), self.im.transpose(*axes))
+
+    def ravel(self):
+        return CArray(self.re.ravel(), self.im.ravel())
+
+    def astype_real(self, rdtype):
+        return CArray(self.re.astype(rdtype), self.im.astype(rdtype))
+
+    # --- arithmetic ---
+    def __add__(self, o):
+        o = as_carray(o)
+        return CArray(self.re + o.re, self.im + o.im)
+
+    def __sub__(self, o):
+        o = as_carray(o)
+        return CArray(self.re - o.re, self.im - o.im)
+
+    def __neg__(self):
+        return CArray(-self.re, -self.im)
+
+    def __mul__(self, o):
+        if isinstance(o, CArray):
+            return cmul(self, o)
+        o = np.asarray(o) if np.isscalar(o) else o
+        if np.iscomplexobj(o):
+            return cmul(self, as_carray(o))
+        return CArray(self.re * o, self.im * o)
+
+    def __rmul__(self, o):
+        return self.__mul__(o)
+
+    def __truediv__(self, o):
+        if isinstance(o, CArray):
+            d = o.re * o.re + o.im * o.im
+            return CArray((self.re * o.re + self.im * o.im) / d,
+                          (self.im * o.re - self.re * o.im) / d)
+        if np.iscomplexobj(np.asarray(o) if np.isscalar(o) else o):
+            return self.__truediv__(as_carray(o))
+        return CArray(self.re / o, self.im / o)
+
+
+def as_carray(x) -> CArray:
+    """Convert numpy/jnp complex (or real) arrays / scalars to CArray."""
+    if isinstance(x, CArray):
+        return x
+    if isinstance(x, (int, float)) or (np.isscalar(x) and not np.iscomplexobj(x)):
+        return CArray(jnp.asarray(x), jnp.zeros_like(jnp.asarray(x)))
+    if np.isscalar(x) and np.iscomplexobj(x):
+        return CArray(jnp.asarray(np.real(x)), jnp.asarray(np.imag(x)))
+    if isinstance(x, np.ndarray) and np.iscomplexobj(x):
+        return CArray(jnp.asarray(np.ascontiguousarray(x.real)),
+                      jnp.asarray(np.ascontiguousarray(x.imag)))
+    if isinstance(x, jax.Array) and jnp.iscomplexobj(x):
+        return CArray(jnp.real(x), jnp.imag(x))
+    # real array: zero imaginary part
+    xa = jnp.asarray(x)
+    return CArray(xa, jnp.zeros_like(xa))
+
+
+def is_split(x) -> bool:
+    return isinstance(x, CArray)
+
+
+def to_numpy(x) -> np.ndarray:
+    if isinstance(x, CArray):
+        return np.asarray(x.re).astype(np.complex128) + 1j * np.asarray(x.im)
+    return np.asarray(x)
+
+
+# ---------------------------------------------------------------------------
+# dispatching ops: work on CArray OR plain jnp complex arrays
+# ---------------------------------------------------------------------------
+
+def conj(a):
+    if isinstance(a, CArray):
+        return CArray(a.re, -a.im)
+    return jnp.conj(a)
+
+
+def cmul(a: CArray, b: CArray) -> CArray:
+    return CArray(a.re * b.re - a.im * b.im, a.re * b.im + a.im * b.re)
+
+
+def einsum(spec: str, a, b, karatsuba: bool = True):
+    """Complex einsum.  For CArray operands: 3 real einsums (Karatsuba)."""
+    if not (isinstance(a, CArray) or isinstance(b, CArray)):
+        return jnp.einsum(spec, a, b)
+    a, b = as_carray(a), as_carray(b)
+    if karatsuba:
+        m1 = jnp.einsum(spec, a.re, b.re)
+        m2 = jnp.einsum(spec, a.im, b.im)
+        m3 = jnp.einsum(spec, a.re + a.im, b.re + b.im)
+        return CArray(m1 - m2, m3 - m1 - m2)
+    return CArray(jnp.einsum(spec, a.re, b.re) - jnp.einsum(spec, a.im, b.im),
+                  jnp.einsum(spec, a.re, b.im) + jnp.einsum(spec, a.im, b.re))
+
+
+def roll(a, shift, axis):
+    if isinstance(a, CArray):
+        return CArray(jnp.roll(a.re, shift, axis), jnp.roll(a.im, shift, axis))
+    return jnp.roll(a, shift, axis)
+
+
+def zeros_like(a):
+    if isinstance(a, CArray):
+        return CArray(jnp.zeros_like(a.re), jnp.zeros_like(a.im))
+    return jnp.zeros_like(a)
+
+
+def zeros(shape, like):
+    """Zeros with the representation/precision of `like`."""
+    if isinstance(like, CArray):
+        return CArray(jnp.zeros(shape, like.re.dtype), jnp.zeros(shape, like.re.dtype))
+    return jnp.zeros(shape, like.dtype)
+
+
+def stack(xs, axis=0):
+    if isinstance(xs[0], CArray):
+        return CArray(jnp.stack([x.re for x in xs], axis),
+                      jnp.stack([x.im for x in xs], axis))
+    return jnp.stack(xs, axis)
+
+
+def concatenate(xs, axis=0):
+    if isinstance(xs[0], CArray):
+        return CArray(jnp.concatenate([x.re for x in xs], axis),
+                      jnp.concatenate([x.im for x in xs], axis))
+    return jnp.concatenate(xs, axis)
+
+
+def moveaxis(a, src, dst):
+    if isinstance(a, CArray):
+        return CArray(jnp.moveaxis(a.re, src, dst), jnp.moveaxis(a.im, src, dst))
+    return jnp.moveaxis(a, src, dst)
+
+
+def phase_mul(val: complex, a, out_sign: float = 1.0):
+    """(out_sign * val) * a for a compile-time complex scalar val.
+    Zero components are dropped at trace time (val in {+-1, +-i} stays 1 op)."""
+    vr, vi = float(np.real(val)) * out_sign, float(np.imag(val)) * out_sign
+    if isinstance(a, CArray):
+        if vi == 0.0:
+            return CArray(vr * a.re, vr * a.im)
+        if vr == 0.0:
+            return CArray(-vi * a.im, vi * a.re)
+        return CArray(vr * a.re - vi * a.im, vr * a.im + vi * a.re)
+    return complex(vr, vi) * a
+
+
+def norm2(a):
+    """sum |a|^2 as a real scalar (device array)."""
+    if isinstance(a, CArray):
+        return jnp.sum(a.re * a.re) + jnp.sum(a.im * a.im)
+    return jnp.sum(jnp.abs(a) ** 2).real
+
+
+def vdot(a, b):
+    """<a, b> = sum conj(a) b; returns (re, im) real pair for CArray, or a
+    complex scalar for jnp arrays."""
+    if isinstance(a, CArray):
+        re = jnp.sum(a.re * b.re) + jnp.sum(a.im * b.im)
+        im = jnp.sum(a.re * b.im) - jnp.sum(a.im * b.re)
+        return CArray(re, im)
+    return jnp.vdot(a, b)
+
+
+def sum_dof(a, axes):
+    """Sum over trailing dof axes; returns CArray/complex field."""
+    if isinstance(a, CArray):
+        return CArray(a.re.sum(axis=axes), a.im.sum(axis=axes))
+    return a.sum(axis=axes)
+
+
+def real(a):
+    return a.re if isinstance(a, CArray) else a.real
+
+
+def imag(a):
+    return a.im if isinstance(a, CArray) else a.imag
+
+
+def abs2(a):
+    if isinstance(a, CArray):
+        return a.re * a.re + a.im * a.im
+    return jnp.abs(a) ** 2
+
+
+# ---------------------------------------------------------------------------
+# small-matrix linear algebra via the real embedding
+# ---------------------------------------------------------------------------
+
+def inv(a):
+    """Batched inverse of complex [..., d, d] blocks.
+
+    CArray path: embed M = R + iI as [[R, -I], [I, R]] (a ring isomorphism),
+    invert the real 2d x 2d blocks, extract the (re, im) of the inverse.
+    """
+    if not isinstance(a, CArray):
+        return jnp.linalg.inv(a)
+    d = a.shape[-1]
+    top = jnp.concatenate([a.re, -a.im], axis=-1)
+    bot = jnp.concatenate([a.im, a.re], axis=-1)
+    emb = jnp.concatenate([top, bot], axis=-2)
+    embi = jnp.linalg.inv(emb)
+    # embedding of M^{-1} is [[R', -I'], [I', R']]
+    return CArray(embi[..., :d, :d], embi[..., d:, :d])
+
+
+def block_qr(a, passes: int = 2):
+    """Thin QR with orthonormal columns for batched [..., m, n] blocks.
+
+    jnp path: jnp.linalg.qr with column-phase fixing.
+    CArray path: batched modified Gram-Schmidt (`passes` rounds, the
+    reference's double-orthogonalization for reduced precision,
+    src/setup_generic.c:291-296).  Returns Q only.
+    """
+    if not isinstance(a, CArray):
+        q, r = jnp.linalg.qr(a)
+        d = jnp.diagonal(r, axis1=-2, axis2=-1)
+        absd = jnp.where(jnp.abs(d) == 0, 1.0, jnp.abs(d))
+        phase = jnp.where(jnp.abs(d) > 0, d / absd, 1.0)
+        return q * jnp.conj(phase)[..., None, :]
+    n = a.shape[-1]
+    cols = [a[..., :, k] for k in range(n)]  # each [..., m]
+    for _ in range(passes):
+        for k in range(n):
+            v = cols[k]
+            for j in range(k):
+                qj = cols[j]
+                # c = <q_j, v> per batch
+                cre = jnp.sum(qj.re * v.re + qj.im * v.im, axis=-1, keepdims=True)
+                cim = jnp.sum(qj.re * v.im - qj.im * v.re, axis=-1, keepdims=True)
+                v = CArray(v.re - (cre * qj.re - cim * qj.im),
+                           v.im - (cre * qj.im + cim * qj.re))
+            nrm = jnp.sqrt(jnp.sum(v.re * v.re + v.im * v.im, axis=-1, keepdims=True))
+            nrm = jnp.where(nrm == 0, 1.0, nrm)
+            cols[k] = CArray(v.re / nrm, v.im / nrm)
+    return stack(cols, axis=-1)

@@ -135,7 +135,9 @@ def random_gauge(lattice, key=None, seed: int = 0, dtype=jnp.complex128) -> jnp.
         key = jax.random.PRNGKey(seed)
     ka, kb = jax.random.split(key)
     shape = (4, *lattice, 3, 3)
-    z = (jax.random.normal(ka, shape) + 1j * jax.random.normal(kb, shape)).astype(dtype)
+    rdtype = jnp.zeros((), dtype).real.dtype  # stay in the target precision
+    z = jax.lax.complex(jax.random.normal(ka, shape, dtype=rdtype),
+                        jax.random.normal(kb, shape, dtype=rdtype)).astype(dtype)
     q, r = jnp.linalg.qr(z)
     d = jnp.diagonal(r, axis1=-2, axis2=-1)
     q = q * jnp.conj(d / jnp.abs(d))[..., None, :]   # Haar phase fix (U(3))

@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils import device_get_complex, device_put_complex
+
 
 @dataclass
 class FGMRESResult:
@@ -76,6 +78,7 @@ def fgmres(
     the same shape; preconditioning is flexible right preconditioning
     (x = x0 + Z y with Z[j] = M(V[j])).
     """
+    b = device_put_complex(b)
     shape = b.shape
     dtype = b.dtype
     n = int(np.prod(shape))
@@ -140,10 +143,10 @@ def fgmres(
                 w = op_flat(vj)
 
             w, h = _orthogonalize(V, w)
-            h_host = np.asarray(h, dtype=np.complex128)
+            h_host = device_get_complex(h).astype(np.complex128)
             if reorthogonalize:
                 w, h2 = _orthogonalize(V, w)
-                h_host = h_host + np.asarray(h2, dtype=np.complex128)
+                h_host = h_host + device_get_complex(h2).astype(np.complex128)
             hnorm = float(_norm(w))
             H[: j + 1, j] = h_host[: j + 1]
             H[j + 1, j] = hnorm
@@ -191,7 +194,7 @@ def fgmres(
                     y[i] -= H[i, k] * y[k]
                 y[i] /= H[i, i]
             basis = Z if prec_flat is not None else V
-            yj = jnp.asarray(y, dtype=dtype)
+            yj = device_put_complex(y, dtype=dtype)
             x = x + jnp.einsum("i,in->n", yj, basis[: j_used + 1])
 
         if converged or diverged:

@@ -20,10 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .fgmres import FGMRESResult, _norm
-
-
-def _vdot(a, b):
-    return complex(jnp.vdot(a, b))
+from ..utils import vdot_host as _vdot
 
 
 def cgn(

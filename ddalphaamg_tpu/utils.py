@@ -1,0 +1,80 @@
+"""Host <-> device marshalling utilities.
+
+The TPU runtime in this environment computes with complex64 on device but
+cannot TRANSFER complex arrays in either direction (h2d and d2h of complex
+dtypes are unimplemented; complex128 is entirely unsupported on TPU).  All
+host/device crossings therefore go through real (re, im) pairs, combined or
+split by tiny jitted kernels.  On CPU these helpers are pass-throughs in
+behavior (complex transfers work there) but are used uniformly so the same
+code runs everywhere.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.jit
+def _combine(re, im):
+    return jax.lax.complex(re, im)
+
+
+@jax.jit
+def _split(x):
+    return x.real, x.imag
+
+
+def default_complex_dtype():
+    """complex128 where supported (x64 CPU), else complex64 (TPU)."""
+    platform = jax.devices()[0].platform
+    if platform in ("cpu",) and jax.config.read("jax_enable_x64"):
+        return jnp.complex128
+    return jnp.complex64
+
+
+def device_put_complex(x, dtype=None):
+    """numpy (possibly complex) -> device array, complex-transfer-safe."""
+    if isinstance(x, jax.Array) and not isinstance(x, np.ndarray):
+        return x if dtype is None else x.astype(dtype)
+    x = np.asarray(x)
+    if dtype is None:
+        dtype = default_complex_dtype() if np.iscomplexobj(x) else None
+    if not np.iscomplexobj(x):
+        return jnp.asarray(x, dtype=dtype)
+    rdtype = jnp.zeros((), dtype).real.dtype
+    re = jnp.asarray(np.ascontiguousarray(x.real), dtype=rdtype)
+    im = jnp.asarray(np.ascontiguousarray(x.imag), dtype=rdtype)
+    return _combine(re, im)
+
+
+def device_get_complex(x) -> np.ndarray:
+    """device array -> numpy, complex-transfer-safe."""
+    if isinstance(x, np.ndarray):
+        return x
+    if jnp.iscomplexobj(x):
+        re, im = _split(x)
+        return np.asarray(re).astype(np.complex128) + 1j * np.asarray(im)
+    return np.asarray(x)
+
+
+@jax.jit
+def _vdot_ri(a, b):
+    v = jnp.vdot(a, b)
+    return v.real, v.imag
+
+
+def vdot_host(a, b) -> complex:
+    """<a, b> as a python complex (device reduction, real transfers)."""
+    re, im = _vdot_ri(a, b)
+    return complex(float(re), float(im))
+
+
+@jax.jit
+def _norm2(x):
+    return jnp.sum(jnp.abs(x) ** 2).real
+
+
+def norm_host(x) -> float:
+    return float(np.sqrt(_norm2(x)))
