@@ -26,7 +26,8 @@ import numpy as np
 
 from . import io as dio
 from .config import SolverParams, make_rhs
-from .utils import default_complex_dtype, device_get_complex, device_put_complex
+from .utils import (default_complex_dtype, default_split,
+                    device_get_complex, device_put_complex)
 from .gauge import average_plaquette
 from .geometry import Geometry
 from .mg.hierarchy import LevelConfig, MGConfig, Multigrid
@@ -109,7 +110,7 @@ class Solver:
             coarse_tol=p.coarse_tol, coarse_iter=p.coarse_iter,
             coarse_restart=p.coarse_restart, odd_even=p.odd_even,
             scheme=_SCHEMES.get(p.method, "red_black"),
-            dtype=self._inner_dtype,
+            dtype=self._inner_dtype, split=default_split(),
             seed=int(time.time()) if p.randomize_test_vectors else p.seed,
         )
 

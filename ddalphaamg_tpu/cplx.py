@@ -77,6 +77,11 @@ class CArray(NamedTuple):
         return self.re.dtype
 
     @property
+    def dtype(self):
+        # the part dtype; used by generic code for precision decisions
+        return self.re.dtype
+
+    @property
     def at(self):
         return _At(self)
 
@@ -93,6 +98,11 @@ class CArray(NamedTuple):
         return CArray(self.re.ravel(), self.im.ravel())
 
     def astype_real(self, rdtype):
+        return CArray(self.re.astype(rdtype), self.im.astype(rdtype))
+
+    def astype(self, dtype):
+        """Accepts complex or real dtypes; parts get the real counterpart."""
+        rdtype = jnp.zeros((), dtype).real.dtype
         return CArray(self.re.astype(rdtype), self.im.astype(rdtype))
 
     # --- arithmetic ---

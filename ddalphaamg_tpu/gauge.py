@@ -25,26 +25,29 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from . import cplx
 from .gamma import get_basis
 
 T, Z, Y, X = 0, 1, 2, 3
 
 
-def _roll(a: jnp.ndarray, shift: int, mu: int) -> jnp.ndarray:
+def _roll(a, shift: int, mu: int):
     """Roll a lattice-indexed array along direction mu (lattice axes lead).
 
     shift=-1 brings a[x+mu] to site x; shift=+1 brings a[x-mu]."""
-    return jnp.roll(a, shift, axis=mu)
+    return cplx.roll(a, shift, mu)
 
 
-def dag(a: jnp.ndarray) -> jnp.ndarray:
+def dag(a):
+    if cplx.is_split(a):
+        return cplx.CArray(jnp.swapaxes(a.re, -1, -2), -jnp.swapaxes(a.im, -1, -2))
     return jnp.conj(jnp.swapaxes(a, -1, -2))
 
 
-def _mm(*ms) -> jnp.ndarray:
+def _mm(*ms):
     out = ms[0]
     for m in ms[1:]:
-        out = jnp.einsum("...ij,...jk->...ik", out, m)
+        out = cplx.einsum("...ij,...jk->...ik", out, m)
     return out
 
 
@@ -55,13 +58,13 @@ def plaquette_field(U: jnp.ndarray, mu: int, nu: int) -> jnp.ndarray:
 
 
 @jax.jit
-def average_plaquette(U: jnp.ndarray) -> jnp.ndarray:
+def average_plaquette(U) -> jnp.ndarray:
     """Average plaquette normalized to [0, 3] (reference convention)."""
-    total = jnp.zeros((), dtype=U.real.dtype)
+    total = 0.0
     for mu in range(4):
         for nu in range(mu + 1, 4):
             p = plaquette_field(U, mu, nu)
-            total = total + jnp.einsum("...ii->...", p).real.sum()
+            total = total + jnp.einsum("...ii->...", cplx.real(p)).sum()
     vol = np.prod(U.shape[1:5])
     return total / (6.0 * vol)
 
@@ -104,11 +107,18 @@ def compute_clover(U: jnp.ndarray, m0: float, csw: float,
     """
     basis = get_basis(basis_name) if basis_name else get_basis()
     lat = U.shape[1:5]
-    cdtype = U.dtype
-    eye6 = jnp.eye(6, dtype=cdtype)
-    clover = jnp.broadcast_to((4.0 + m0) * eye6, (*lat, 2, 6, 6)).astype(cdtype)
+    split = cplx.is_split(U)
+    if split:
+        rdtype = U.re.dtype
+        base = jnp.broadcast_to((4.0 + m0) * jnp.eye(6, dtype=rdtype),
+                                (*lat, 2, 6, 6)).astype(rdtype)
+        clover = cplx.CArray(base, jnp.zeros_like(base))
+    else:
+        cdtype = U.dtype
+        eye6 = jnp.eye(6, dtype=cdtype)
+        clover = jnp.broadcast_to((4.0 + m0) * eye6, (*lat, 2, 6, 6)).astype(cdtype)
     if csw != 0.0:
-        acc = jnp.zeros((*lat, 2, 6, 6), dtype=cdtype)
+        acc = None
         for mu in range(4):
             for nu in range(mu + 1, 4):
                 sig = basis.sigma_munu(mu, nu)  # 4x4, chiral-block-diagonal
@@ -116,8 +126,14 @@ def compute_clover(U: jnp.ndarray, m0: float, csw: float,
                 # per-chirality 2x2 spin blocks, kron'd with the 3x3 color matrix:
                 # out[(s,i),(t,j)] = sig_blk[s,t] * qd[i,j]
                 blk = np.stack([sig[0:2, 0:2], sig[2:4, 2:4]])  # [2(chir), 2, 2]
-                k = jnp.einsum("cst,...ij->...csitj", jnp.asarray(blk, dtype=cdtype), qd)
-                acc = acc + k.reshape(*lat, 2, 6, 6)
+                if split:
+                    blk_dev = cplx.CArray(jnp.asarray(blk.real, dtype=U.re.dtype),
+                                          jnp.asarray(blk.imag, dtype=U.re.dtype))
+                else:
+                    blk_dev = jnp.asarray(blk, dtype=U.dtype)
+                k = cplx.einsum("cst,...ij->...csitj", blk_dev, qd)
+                k = k.reshape(*lat, 2, 6, 6)
+                acc = k if acc is None else acc + k
         clover = clover - csw * acc
     return clover
 
@@ -143,3 +159,36 @@ def random_gauge(lattice, key=None, seed: int = 0, dtype=jnp.complex128) -> jnp.
     q = q * jnp.conj(d / jnp.abs(d))[..., None, :]   # Haar phase fix (U(3))
     det = jnp.linalg.det(q)                          # |det| = 1
     return q * jnp.conj(det ** (1.0 / 3.0))[..., None, None]  # project to SU(3)
+
+
+def _det3(m: cplx.CArray) -> cplx.CArray:
+    """Determinant of split-complex [..., 3, 3] blocks."""
+    def mul(a, b):
+        return cplx.cmul(a, b)
+
+    def at(i, j):
+        return m[..., i, j]
+
+    cof0 = mul(at(1, 1), at(2, 2)) - mul(at(1, 2), at(2, 1))
+    cof1 = mul(at(1, 0), at(2, 2)) - mul(at(1, 2), at(2, 0))
+    cof2 = mul(at(1, 0), at(2, 1)) - mul(at(1, 1), at(2, 0))
+    return mul(at(0, 0), cof0) - mul(at(0, 1), cof1) + mul(at(0, 2), cof2)
+
+
+def random_gauge_split(lattice, key=None, seed: int = 0,
+                       rdtype=jnp.float32) -> cplx.CArray:
+    """Haar-random SU(3) configuration in split-complex form (no complex
+    HLOs: MGS orthonormalization + explicit determinant phase removal).
+    This is the TPU-executable analog of random_gauge."""
+    if key is None:
+        key = jax.random.PRNGKey(seed)
+    ka, kb = jax.random.split(key)
+    shape = (4, *lattice, 3, 3)
+    z = cplx.CArray(jax.random.normal(ka, shape, dtype=rdtype),
+                    jax.random.normal(kb, shape, dtype=rdtype))
+    q = cplx.block_qr(z)                 # orthonormal columns (U(3) up to phases)
+    det = _det3(q)                       # unit-modulus complex
+    theta = jnp.arctan2(det.im, det.re)
+    ph = cplx.CArray(jnp.cos(-theta / 3.0)[..., None, None],
+                     jnp.sin(-theta / 3.0)[..., None, None])
+    return cplx.cmul(q, ph)

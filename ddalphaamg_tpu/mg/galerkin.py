@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import cplx
 from ..operators.coarse import CoarseOperator, coarse_hop
 from ..operators.wilson import (
     WilsonOperator,
@@ -54,7 +55,7 @@ def _agg_face_masks(lattice, coarsening):
 def _stack_columns(agg: Aggregation, P: jnp.ndarray, fields: jnp.ndarray) -> jnp.ndarray:
     """Restrict a batch of 2N fields -> [Tc,Zc,Yc,Xc, 2N(row), 2N(col)]."""
     cols = jax.vmap(lambda f: restrict(agg, P, f))(fields)  # [2N, Tc.., 2N]
-    return jnp.moveaxis(cols, 0, -1)
+    return cplx.moveaxis(cols, 0, -1)
 
 
 def build_coarse_operator(op, agg: Aggregation, P: jnp.ndarray) -> CoarseOperator:
@@ -68,7 +69,7 @@ def build_coarse_operator(op, agg: Aggregation, P: jnp.ndarray) -> CoarseOperato
 
 def _from_wilson(op: WilsonOperator, agg: Aggregation, P: jnp.ndarray) -> CoarseOperator:
     dof_shape = (4, 3)
-    rdtype = op.links.real.dtype
+    rdtype = op.links.re.dtype if cplx.is_split(op.links) else op.links.real.dtype
     up, _ = _agg_face_masks(agg.fine_lattice, agg.coarsening)
     up = jnp.asarray(up, dtype=rdtype)
     links_intra = op.links * (1.0 - up)
@@ -86,12 +87,12 @@ def _from_wilson(op: WilsonOperator, agg: Aggregation, P: jnp.ndarray) -> Coarse
         Df.append(_stack_columns(agg, P, f))
         g = jax.vmap(lambda b: dslash_bwd(links_face, b, dirs=(mu,)))(B)
         Db.append(_stack_columns(agg, P, g))
-    return CoarseOperator(A=A, Df=jnp.stack(Df), Db=jnp.stack(Db))
+    return CoarseOperator(A=A, Df=cplx.stack(Df), Db=cplx.stack(Db))
 
 
 def _from_coarse(cop: CoarseOperator, agg: Aggregation, P: jnp.ndarray) -> CoarseOperator:
     dof_shape = (cop.dof,)
-    rdtype = cop.A.real.dtype
+    rdtype = cop.A.re.dtype if cplx.is_split(cop.A) else cop.A.real.dtype
     up, lo = _agg_face_masks(agg.fine_lattice, agg.coarsening)
     up = jnp.asarray(up, dtype=rdtype)   # [4, lat, 1, 1] broadcasts over [.., d, d]
     lo = jnp.asarray(lo, dtype=rdtype)
@@ -101,17 +102,17 @@ def _from_coarse(cop: CoarseOperator, agg: Aggregation, P: jnp.ndarray) -> Coars
     B = assemble_basis(agg, P, dof_shape)  # [2N, lat, d]
 
     def intra_apply(b):
-        return (jnp.einsum("...ij,...j->...i", cop.A, b)
+        return (cplx.einsum("...ij,...j->...i", cop.A, b)
                 + coarse_hop(Df_intra, Db_intra, b))
 
     A = _stack_columns(agg, P, jax.vmap(intra_apply)(B))
 
     Df, Db = [], []
     for mu in range(4):
-        f = jax.vmap(lambda b: jnp.einsum(
-            "...ij,...j->...i", Df_face[mu], jnp.roll(b, -1, axis=mu)))(B)
+        f = jax.vmap(lambda b: cplx.einsum(
+            "...ij,...j->...i", Df_face[mu], cplx.roll(b, -1, mu)))(B)
         Df.append(_stack_columns(agg, P, f))
-        g = jax.vmap(lambda b: jnp.einsum(
-            "...ij,...j->...i", Db_face[mu], jnp.roll(b, 1, axis=mu)))(B)
+        g = jax.vmap(lambda b: cplx.einsum(
+            "...ij,...j->...i", Db_face[mu], cplx.roll(b, 1, mu)))(B)
         Db.append(_stack_columns(agg, P, g))
-    return CoarseOperator(A=A, Df=jnp.stack(Df), Db=jnp.stack(Db))
+    return CoarseOperator(A=A, Df=cplx.stack(Df), Db=cplx.stack(Db))

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import cplx
 from ..geometry import Geometry
 from ..operators.coarse import CoarseOperator, coarse_hop
 from ..operators.stencil import CoarseStencil, WilsonStencil
@@ -68,6 +69,7 @@ class MGConfig:
     odd_even: bool = True
     scheme: str = "red_black"   # Schwarz variant (reference method 1/2/3)
     dtype: object = jnp.complex64
+    split: bool = False         # split-complex representation (TPU path)
     seed: int = 42
 
     @property
@@ -107,6 +109,8 @@ class Multigrid:
     def __init__(self, op: WilsonOperator, mg_cfg: MGConfig):
         self.cfg = mg_cfg
         self.stats = {"coarse_iterations": 0, "coarse_solves": 0}
+        if mg_cfg.split and not cplx.is_split(op.links):
+            op = op.split()
         self.fine = self._build(op)
 
     # ------------------------------------------------------------------
@@ -154,16 +158,20 @@ class Multigrid:
         shape = (n, *level.stencil.field_shape)
         ka, kb = jax.random.split(key)
         rdtype = jnp.zeros((), self.cfg.dtype).real.dtype
-        tv = (jax.random.normal(ka, shape, dtype=rdtype)
-              + 1j * jax.random.normal(kb, shape, dtype=rdtype)).astype(self.cfg.dtype)
+        re = jax.random.normal(ka, shape, dtype=rdtype)
+        im = jax.random.normal(kb, shape, dtype=rdtype)
+        if self.cfg.split:
+            tv = cplx.CArray(re, im)
+        else:
+            tv = jax.lax.complex(re, im).astype(self.cfg.dtype)
         out = []
         for i in range(n):
             v = tv[i]
             for ncy in (1, 2, 3):
                 v = level.smoother(v, cycles=ncy)
-            v = v / jnp.linalg.norm(v)
+            v = v * (1.0 / jnp.sqrt(cplx.norm2(v)))
             out.append(v)
-        return jnp.stack(out)
+        return cplx.stack(out)
 
     # ------------------------------------------------------------------
     # cycles
@@ -245,11 +253,11 @@ class Multigrid:
             return
         self._inv_iter_fcycle(self.fine, it)
 
-    def _gram_schmidt(self, tvs: jnp.ndarray) -> jnp.ndarray:
+    def _gram_schmidt(self, tvs):
         n = tvs.shape[0]
-        mat = tvs.reshape(n, -1).T  # [vol, N]
-        q, _ = jnp.linalg.qr(mat)
-        return q.T.reshape(tvs.shape)
+        mat = cplx.moveaxis(tvs.reshape(n, -1), 0, -1)  # [vol, N]
+        q = cplx.block_qr(mat, passes=1)
+        return cplx.moveaxis(q, -1, 0).reshape(*tvs.shape)
 
     def _inv_iter_fcycle(self, level: MGLevel, setup_iter: int):
         cfg = self.cfg
@@ -261,7 +269,7 @@ class Multigrid:
                 # kcycle_tol = coarse_tol during setup (src/setup_generic.c:448)
                 x = self.vcycle(level, level.test_vectors[i],
                                 kcycle_tol=cfg.coarse_tol, collect=collect)
-                new_tvs.append(x / jnp.linalg.norm(x))
+                new_tvs.append(x * (1.0 / jnp.sqrt(cplx.norm2(x))))
                 # update coarser-level test vectors from the cycle's coarse
                 # solutions (test_vector_PRECISION_update)
                 lvl = level.next
@@ -269,9 +277,9 @@ class Multigrid:
                     if lvl.depth in collect and lvl.test_vectors is not None:
                         xc = collect[lvl.depth]
                         lvl.test_vectors = lvl.test_vectors.at[i].set(
-                            xc / jnp.linalg.norm(xc))
+                            xc * (1.0 / jnp.sqrt(cplx.norm2(xc))))
                     lvl = lvl.next
-            level.test_vectors = jnp.stack(new_tvs)
+            level.test_vectors = cplx.stack(new_tvs)
             self.re_setup(level)
             if level.depth == 0 and not level.next.is_coarsest:
                 sub = max(1, round((j + 1) * level.next.cfg.setup_iter / setup_iter))

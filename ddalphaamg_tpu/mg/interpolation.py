@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import cplx
+
 
 class Aggregation(NamedTuple):
     """Geometry of one coarsening step.
@@ -96,27 +98,22 @@ def build_interpolation(agg: Aggregation, test_vectors: jnp.ndarray) -> jnp.ndar
     test_vectors: [N, T,Z,Y,X, *dof]
     returns P: [Tc,Zc,Yc,Xc, 2, m, N] with orthonormal columns per (site, chir).
     """
-    cols = jnp.stack([to_aggregates(agg, test_vectors[k])
-                      for k in range(agg.num_vectors)], axis=-1)
-    q, r = jnp.linalg.qr(cols)  # batched thin QR: [.., 2, m, N]
-    # fix column phases (QR sign ambiguity) so P is deterministic
-    d = jnp.diagonal(r, axis1=-2, axis2=-1)
-    absd = jnp.where(jnp.abs(d) == 0, 1.0, jnp.abs(d))
-    phase = jnp.where(jnp.abs(d) > 0, d / absd, 1.0)
-    return q * jnp.conj(phase)[..., None, :]
+    cols = cplx.stack([to_aggregates(agg, test_vectors[k])
+                       for k in range(agg.num_vectors)], axis=-1)
+    return cplx.block_qr(cols)  # batched thin QR: [.., 2, m, N]
 
 
 def restrict(agg: Aggregation, P: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """v_c = P^H v:  [T,Z,Y,X, *dof] -> [Tc,Zc,Yc,Xc, 2N]."""
     x = to_aggregates(agg, v)
-    out = jnp.einsum("...cmk,...cm->...ck", jnp.conj(P), x)
+    out = cplx.einsum("...cmk,...cm->...ck", cplx.conj(P), x)
     return out.reshape(*agg.coarse_lattice, 2 * agg.num_vectors)
 
 
 def interpolate(agg: Aggregation, P: jnp.ndarray, v_c: jnp.ndarray, dof_shape) -> jnp.ndarray:
     """v = P v_c:  [Tc,Zc,Yc,Xc, 2N] -> fine field with dof_shape."""
     vc = v_c.reshape(*agg.coarse_lattice, 2, agg.num_vectors)
-    x = jnp.einsum("...cmk,...ck->...cm", P, vc)
+    x = cplx.einsum("...cmk,...ck->...cm", P, vc)
     return from_aggregates(agg, x, dof_shape)
 
 
@@ -124,9 +121,9 @@ def assemble_basis(agg: Aggregation, P: jnp.ndarray, dof_shape) -> jnp.ndarray:
     """All 2N globally-assembled coarse basis vectors as fine fields:
     B[c*N+k] = P e_{c,k} on every aggregate simultaneously.
     Shape: [2N, T,Z,Y,X, *dof].  Input to the Galerkin triple product."""
-    z = jnp.zeros_like(P)
-    cols = jnp.concatenate([
-        jnp.stack([P[..., 0, :, :], z[..., 1, :, :]], axis=-3),
-        jnp.stack([z[..., 0, :, :], P[..., 1, :, :]], axis=-3),
+    z = cplx.zeros_like(P)
+    cols = cplx.concatenate([
+        cplx.stack([P[..., 0, :, :], z[..., 1, :, :]], axis=-3),
+        cplx.stack([z[..., 0, :, :], P[..., 1, :, :]], axis=-3),
     ], axis=-1)  # [Tc,Zc,Yc,Xc, 2, m, 2N]
     return jax.vmap(lambda c: from_aggregates(agg, c, dof_shape), in_axes=-1)(cols)

@@ -21,14 +21,16 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
+from .. import cplx
+
 
 class CoarseOperator(NamedTuple):
     """A: [*lat, d, d] self-coupling; Df/Db: [4, *lat, d, d] neighbor
     couplings to phi(x+mu) / phi(x-mu) (hopping signs folded in)."""
 
-    A: jnp.ndarray
-    Df: jnp.ndarray
-    Db: jnp.ndarray
+    A: object
+    Df: object
+    Db: object
 
     @property
     def lattice(self):
@@ -39,32 +41,38 @@ class CoarseOperator(NamedTuple):
         return self.A.shape[-1]
 
     def astype(self, dtype):
+        if cplx.is_split(self.A):
+            rdtype = jnp.zeros((), dtype).real.dtype
+            return CoarseOperator(self.A.astype_real(rdtype),
+                                  self.Df.astype_real(rdtype),
+                                  self.Db.astype_real(rdtype))
         return CoarseOperator(self.A.astype(dtype), self.Df.astype(dtype),
                               self.Db.astype(dtype))
 
 
-def coarse_apply(cop: CoarseOperator, phi: jnp.ndarray) -> jnp.ndarray:
+def coarse_apply(cop: CoarseOperator, phi):
     """eta(x) = A(x) phi(x) + sum_mu [Df_mu(x) phi(x+mu) + Db_mu(x) phi(x-mu)]."""
-    out = jnp.einsum("...ij,...j->...i", cop.A, phi)
+    out = cplx.einsum("...ij,...j->...i", cop.A, phi)
     for mu in range(4):
-        out = out + jnp.einsum("...ij,...j->...i", cop.Df[mu], jnp.roll(phi, -1, axis=mu))
-        out = out + jnp.einsum("...ij,...j->...i", cop.Db[mu], jnp.roll(phi, 1, axis=mu))
+        out = out + cplx.einsum("...ij,...j->...i", cop.Df[mu], cplx.roll(phi, -1, mu))
+        out = out + cplx.einsum("...ij,...j->...i", cop.Db[mu], cplx.roll(phi, 1, mu))
     return out
 
 
-def coarse_hop(Df: jnp.ndarray, Db: jnp.ndarray, phi: jnp.ndarray) -> jnp.ndarray:
+def coarse_hop(Df, Db, phi):
     """Hopping-only part (for masked/intra-block applications)."""
-    out = jnp.zeros_like(phi)
+    out = None
     for mu in range(4):
-        out = out + jnp.einsum("...ij,...j->...i", Df[mu], jnp.roll(phi, -1, axis=mu))
-        out = out + jnp.einsum("...ij,...j->...i", Db[mu], jnp.roll(phi, 1, axis=mu))
+        t = cplx.einsum("...ij,...j->...i", Df[mu], cplx.roll(phi, -1, mu))
+        t = t + cplx.einsum("...ij,...j->...i", Db[mu], cplx.roll(phi, 1, mu))
+        out = t if out is None else out + t
     return out
 
 
-def coarse_gamma5(phi: jnp.ndarray) -> jnp.ndarray:
+def coarse_gamma5(phi):
     """gamma5_c phi = diag(-1_N, +1_N) phi (dof ordered (chirality, k))."""
     n = phi.shape[-1] // 2
-    return jnp.concatenate([-phi[..., :n], phi[..., n:]], axis=-1)
+    return cplx.concatenate([-phi[..., :n], phi[..., n:]], axis=-1)
 
 
 def intra_block_masks(lattice, block) -> tuple[np.ndarray, np.ndarray]:

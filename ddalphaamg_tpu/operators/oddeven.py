@@ -27,6 +27,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
+from .. import cplx
 from .wilson import WilsonOperator, clover_apply, dslash_hopping
 
 
@@ -41,16 +42,17 @@ def parity_masks(lattice, dtype=jnp.float64):
 class OddEvenOperator(NamedTuple):
     """Wilson-clover operator with parity machinery (a JAX pytree)."""
 
-    links: jnp.ndarray        # [4,T,Z,Y,X,3,3] = U/2
-    clover: jnp.ndarray       # [T,Z,Y,X,2,6,6]
-    clover_inv: jnp.ndarray   # [T,Z,Y,X,2,6,6] per-site inverse (used on one parity)
+    links: object             # [4,T,Z,Y,X,3,3] = U/2
+    clover: object            # [T,Z,Y,X,2,6,6]
+    clover_inv: object        # [T,Z,Y,X,2,6,6] per-site inverse (used on one parity)
     even: jnp.ndarray         # [T,Z,Y,X,1,1]
     odd: jnp.ndarray
 
     @classmethod
     def from_wilson(cls, op: WilsonOperator) -> "OddEvenOperator":
-        even, odd = parity_masks(op.lattice, dtype=op.links.real.dtype)
-        cinv = jnp.linalg.inv(op.clover)
+        rdtype = op.links.re.dtype if cplx.is_split(op.links) else op.links.real.dtype
+        even, odd = parity_masks(op.lattice, dtype=rdtype)
+        cinv = cplx.inv(op.clover)
         return cls(op.links, op.clover, cinv, even, odd)
 
     @property
@@ -66,13 +68,13 @@ class OddEvenOperator(NamedTuple):
         """A_oo^{-1} v_o (input is masked to odd; output has odd support)."""
         lat = v.shape[:4]
         ph = (self.odd * v).reshape(*lat, 2, 6)
-        out = jnp.einsum("...cij,...cj->...ci", self.clover_inv, ph)
+        out = cplx.einsum("...cij,...cj->...ci", self.clover_inv, ph)
         return out.reshape(*lat, 4, 3)
 
     def diag_ee_inv(self, v):
         lat = v.shape[:4]
         ph = (self.even * v).reshape(*lat, 2, 6)
-        out = jnp.einsum("...cij,...cj->...ci", self.clover_inv, ph)
+        out = cplx.einsum("...cij,...cj->...ci", self.clover_inv, ph)
         return out.reshape(*lat, 4, 3)
 
     def hop_from_odd(self, v):

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import cplx
 from ..geometry import Geometry
 from .coarse import CoarseOperator, coarse_apply, coarse_hop, intra_block_masks
 from .oddeven import parity_masks
@@ -51,10 +52,10 @@ def _link_intra_mask(geom: Geometry) -> np.ndarray:
 class WilsonStencil:
     """Fine-grid Wilson-clover stencil (half-spinor kernels)."""
 
-    links: jnp.ndarray
-    clover: jnp.ndarray
-    links_intra: jnp.ndarray
-    clover_inv: jnp.ndarray
+    links: object
+    clover: object
+    links_intra: object
+    clover_inv: object
     even: jnp.ndarray
     odd: jnp.ndarray
     geom: Geometry
@@ -63,11 +64,12 @@ class WilsonStencil:
     def build(cls, op: WilsonOperator, geom: Geometry, dtype=None) -> "WilsonStencil":
         if dtype is not None:
             op = op.astype(dtype)
-        rdtype = op.links.real.dtype
+        rdtype = (op.links.re.dtype if cplx.is_split(op.links)
+                  else op.links.real.dtype)
         links_intra = op.links * jnp.asarray(_link_intra_mask(geom), dtype=rdtype)
         even, odd = parity_masks(geom.lattice, dtype=rdtype)
         return cls(links=op.links, clover=op.clover, links_intra=links_intra,
-                   clover_inv=jnp.linalg.inv(op.clover), even=even, odd=odd, geom=geom)
+                   clover_inv=cplx.inv(op.clover), even=even, odd=odd, geom=geom)
 
     @property
     def dtype(self):
@@ -89,7 +91,7 @@ class WilsonStencil:
     def self_inv(self, v, mask):
         lat = v.shape[:4]
         ph = (mask * v).reshape(*lat, 2, 6)
-        out = jnp.einsum("...cij,...cj->...ci", self.clover_inv, ph)
+        out = cplx.einsum("...cij,...cj->...ci", self.clover_inv, ph)
         return out.reshape(*lat, 4, 3)
 
     def hop_intra(self, v):
@@ -103,12 +105,12 @@ class WilsonStencil:
 class CoarseStencil:
     """Coarse-grid dense block stencil."""
 
-    A: jnp.ndarray
-    Df: jnp.ndarray
-    Db: jnp.ndarray
-    Df_intra: jnp.ndarray
-    Db_intra: jnp.ndarray
-    A_inv: jnp.ndarray
+    A: object
+    Df: object
+    Db: object
+    Df_intra: object
+    Db_intra: object
+    A_inv: object
     even: jnp.ndarray
     odd: jnp.ndarray
     geom: Geometry
@@ -117,13 +119,13 @@ class CoarseStencil:
     def build(cls, cop: CoarseOperator, geom: Geometry, dtype=None) -> "CoarseStencil":
         if dtype is not None:
             cop = cop.astype(dtype)
-        rdtype = cop.A.real.dtype
+        rdtype = cop.A.re.dtype if cplx.is_split(cop.A) else cop.A.real.dtype
         fwd, bwd = intra_block_masks(geom.lattice, geom.block)
         even, odd = parity_masks(geom.lattice, dtype=rdtype)
         return cls(A=cop.A, Df=cop.Df, Db=cop.Db,
                    Df_intra=cop.Df * jnp.asarray(fwd, dtype=rdtype),
                    Db_intra=cop.Db * jnp.asarray(bwd, dtype=rdtype),
-                   A_inv=jnp.linalg.inv(cop.A),
+                   A_inv=cplx.inv(cop.A),
                    even=even[..., 0, :], odd=odd[..., 0, :], geom=geom)
 
     @property
@@ -142,14 +144,14 @@ class CoarseStencil:
         return coarse_apply(self.cop, v)
 
     def block_op(self, v):
-        out = jnp.einsum("...ij,...j->...i", self.A, v)
+        out = cplx.einsum("...ij,...j->...i", self.A, v)
         return out + coarse_hop(self.Df_intra, self.Db_intra, v)
 
     def self_op(self, v):
-        return jnp.einsum("...ij,...j->...i", self.A, v)
+        return cplx.einsum("...ij,...j->...i", self.A, v)
 
     def self_inv(self, v, mask):
-        return jnp.einsum("...ij,...j->...i", self.A_inv, mask * v)
+        return cplx.einsum("...ij,...j->...i", self.A_inv, mask * v)
 
     def hop_intra(self, v):
         return coarse_hop(self.Df_intra, self.Db_intra, v)

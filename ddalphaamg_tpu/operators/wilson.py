@@ -9,27 +9,30 @@ Operator convention (identical to the reference, src/dirac_generic.c:159-278):
 where D_mu = U_mu / 2 (the links are pre-scaled by 1/2 at setup,
 src/dirac.c:80) and C is the clover site matrix including the (4 + m0)
 diagonal (src/dirac.c:24-58).  Anti-periodic time boundary signs are baked
-into the links (io.py), so neighbor access is a periodic jnp.roll.
+into the links (io.py), so neighbor access is a periodic roll.
 
 TPU realization: whole-lattice arrays, half-spinor projection (rank-2
-structure of (1 -/+ gamma_mu), exactly the reference's prp/prn trick but as
-two batched [*, 2, 3] complex matmuls per direction instead of per-site SSE),
-and XLA fusion instead of hand-scheduled comm/compute overlap.  Under a
-sharded mesh the rolls lower to collective permutes on ICI.
+structure of (1 -/+ gamma_mu), the reference's prp/prn trick as two batched
+[*, 2, 3] contractions per direction instead of per-site SSE), XLA fusion
+instead of hand-scheduled comm/compute overlap.  Under a sharded mesh the
+rolls lower to collective permutes on ICI.
 
-Spinor layout: phi[T, Z, Y, X, 4, 3] (spin-major within a site, matching the
-reference's site ordering).  All functions vmap cleanly over extra leading
-batch axes of phi via jax.vmap for multi-RHS.
+Representation-generic: fields/links/clover may be jnp complex arrays (CPU
+parity path) or split-complex cplx.CArray pairs (the TPU path -- this
+runtime executes no complex HLOs).  All arithmetic goes through cplx.*.
+
+Spinor layout: phi[T, Z, Y, X, 4, 3] (spin-major within a site, matching
+the reference's site ordering).
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import cplx
 from ..gamma import get_basis
 
 T, Z, Y, X = 0, 1, 2, 3
@@ -38,151 +41,144 @@ T, Z, Y, X = 0, 1, 2, 3
 class WilsonOperator(NamedTuple):
     """Fine-grid Wilson-clover operator data (a JAX pytree).
 
-    links:  [4, T, Z, Y, X, 3, 3] complex -- U_mu / 2 (reference op->D)
-    clover: [T, Z, Y, X, 2, 6, 6] complex -- Hermitian chirality blocks
-            including the (4 + m0) diagonal (reference op->clover)
+    links:  [4, T, Z, Y, X, 3, 3] -- U_mu / 2 (reference op->D)
+    clover: [T, Z, Y, X, 2, 6, 6] -- Hermitian chirality blocks including
+            the (4 + m0) diagonal (reference op->clover)
+    Either jnp complex arrays or cplx.CArray.
     """
 
-    links: jnp.ndarray
-    clover: jnp.ndarray
+    links: object
+    clover: object
 
     @classmethod
     def from_gauge(cls, U, m0: float, csw: float, basis: str | None = None,
                    dtype=None) -> "WilsonOperator":
         from ..gauge import compute_clover
 
-        U = jnp.asarray(U)
         clov = compute_clover(U, m0, csw, basis)
         links = 0.5 * U
-        if dtype is not None:
-            links = links.astype(dtype)
-            clov = clov.astype(dtype)
-        return cls(links=links, clover=clov)
+        op = cls(links=links, clover=clov)
+        return op.astype(dtype) if dtype is not None else op
 
     def astype(self, dtype) -> "WilsonOperator":
+        if cplx.is_split(self.links):
+            rdtype = jnp.zeros((), dtype).real.dtype
+            return WilsonOperator(self.links.astype_real(rdtype),
+                                  self.clover.astype_real(rdtype))
         return WilsonOperator(self.links.astype(dtype), self.clover.astype(dtype))
+
+    def split(self) -> "WilsonOperator":
+        """Convert to the split-complex representation."""
+        return WilsonOperator(cplx.as_carray(self.links), cplx.as_carray(self.clover))
 
     @property
     def lattice(self):
         return self.links.shape[1:5]
 
 
-def clover_apply(clover: jnp.ndarray, phi: jnp.ndarray) -> jnp.ndarray:
+def clover_apply(clover, phi):
     """eta = C phi with C stored as two 6x6 chirality blocks."""
     lat = phi.shape[:4]
     ph = phi.reshape(*lat, 2, 6)
-    out = jnp.einsum("...cij,...cj->...ci", clover, ph)
+    out = cplx.einsum("...cij,...cj->...ci", clover, ph)
     return out.reshape(*lat, 4, 3)
 
 
-def _su3_mul(u: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+def _su3_mul(u, h):
     """u[...,3,3] @ h[...,s,3] over color."""
-    return jnp.einsum("...ab,...sb->...sa", u, h)
+    return cplx.einsum("...ab,...sb->...sa", u, h)
 
 
-def _su3_mul_dag(u: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+def _su3_mul_dag(u, h):
     """u^dagger @ h over color."""
-    return jnp.einsum("...ba,...sb->...sa", jnp.conj(u), h)
+    return cplx.einsum("...ba,...sb->...sa", cplx.conj(u), h)
 
 
-def dslash_hopping(links: jnp.ndarray, phi: jnp.ndarray,
-                   basis_name: str | None = None,
-                   dirs=(T, Z, Y, X)) -> jnp.ndarray:
-    """The hopping part:  - sum_mu [ D_mu (1-g_mu) phi(x+mu) + D_mu^H(x-mu) (1+g_mu) phi(x-mu) ].
-
-    Half-spinor formulation: for each mu only spin rows {0,1} of the
-    projected spinor are formed and multiplied by the link; rows {2,3} are
-    reconstructed with the gamma phase (uses gamma_mu^2 = 1, so
-    val[s] * val[co[s]] = 1).  Mirrors prp/prn/pbp/pbn of the reference
-    (src/dirac_generic.h:110-303) as batched tensor ops.
-    """
-    basis = get_basis(basis_name) if basis_name else get_basis()
-    co = basis.co
-    out_dtype = jnp.result_type(phi.dtype, links.dtype)
-    val = jnp.asarray(basis.val, dtype=out_dtype)
-    eta = jnp.zeros(phi.shape, dtype=out_dtype)
-    for mu in dirs:
-        u = links[mu]
-        v01 = val[mu, 0:2][:, None]           # phases for spin rows 0,1
-        v23 = val[mu, 2:4][:, None]           # phases for spin rows 2,3
-        c01 = co[mu, 0:2]                     # partner spin of rows 0,1
-        c23 = co[mu, 2:4]                     # in {0,1}: row of the half buffer
-
-        # forward hop: u * (1 - gamma_mu) phi(x + mu), rows {0,1} only
-        phi_f = jnp.roll(phi, -1, axis=mu)
-        half = phi_f[..., 0:2, :] - v01 * phi_f[..., c01, :]
-        hf = _su3_mul(u, half)
-        eta = eta.at[..., 0:2, :].add(-hf)
-        eta = eta.at[..., 2:4, :].add(v23 * hf[..., c23, :])
-
-        # backward hop: u^H(x-mu) * (1 + gamma_mu) phi(x - mu)
-        half_b = phi[..., 0:2, :] + v01 * phi[..., c01, :]
-        hb = jnp.roll(_su3_mul_dag(u, half_b), 1, axis=mu)
-        eta = eta.at[..., 0:2, :].add(-hb)
-        eta = eta.at[..., 2:4, :].add(-v23 * hb[..., c23, :])
-    return eta
+def _project(phi, mu, basis, sign: float):
+    """Half-spinor (1 + sign*gamma_mu) phi, spin rows {0,1} only: [..., 2, 3]."""
+    co, val = basis.co, basis.val
+    rows = [phi[..., s, :] + cplx.phase_mul(val[mu, s], phi[..., int(co[mu, s]), :], sign)
+            for s in (0, 1)]
+    return cplx.stack(rows, axis=-2)
 
 
-def dslash_fwd(links: jnp.ndarray, phi: jnp.ndarray,
-               basis_name: str | None = None, dirs=(T, Z, Y, X)) -> jnp.ndarray:
+def _reconstruct(hf, mu, basis, sign: float):
+    """Lift a projected+multiplied half-spinor back to 4 spins.
+
+    Returns the hopping contribution with the overall minus sign folded in:
+      rows {0,1}: -hf ; rows {2,3}: -sign * val[mu,s] * hf[co[mu,s]]
+    (uses gamma^2 = 1 => val[s] val[co[s]] = 1; cf. pbp/pbn_su3 macros,
+    src/dirac_generic.h:130-159)."""
+    co, val = basis.co, basis.val
+    rows = [-hf[..., 0, :], -hf[..., 1, :]]
+    for s in (2, 3):
+        rows.append(cplx.phase_mul(val[mu, s], hf[..., int(co[mu, s]), :], -sign))
+    return cplx.stack(rows, axis=-2)
+
+
+def dslash_fwd(links, phi, basis_name=None, dirs=(T, Z, Y, X)):
     """Forward-hop part only: - sum_mu D_mu(x) (1-gamma_mu) phi(x+mu).
 
     With face-masked links this yields the aggregate cross-coupling terms of
     the Galerkin construction (reference d_neighbor_aggregate_PRECISION,
     src/dirac_generic.c:401-462)."""
     basis = get_basis(basis_name) if basis_name else get_basis()
-    co = basis.co
-    out_dtype = jnp.result_type(phi.dtype, links.dtype)
-    val = jnp.asarray(basis.val, dtype=out_dtype)
-    eta = jnp.zeros(phi.shape, dtype=out_dtype)
+    eta = None
     for mu in dirs:
-        u = links[mu]
-        v01, v23 = val[mu, 0:2][:, None], val[mu, 2:4][:, None]
-        c01, c23 = co[mu, 0:2], co[mu, 2:4]
-        phi_f = jnp.roll(phi, -1, axis=mu)
-        half = phi_f[..., 0:2, :] - v01 * phi_f[..., c01, :]
-        hf = _su3_mul(u, half)
-        eta = eta.at[..., 0:2, :].add(-hf)
-        eta = eta.at[..., 2:4, :].add(v23 * hf[..., c23, :])
-    return eta
+        phi_f = cplx.roll(phi, -1, mu)
+        half = _project(phi_f, mu, basis, -1.0)
+        hf = _su3_mul(links[mu], half)
+        contrib = _reconstruct(hf, mu, basis, -1.0)
+        eta = contrib if eta is None else eta + contrib
+    return cplx.zeros_like(phi) if eta is None else eta
 
 
-def dslash_bwd(links: jnp.ndarray, phi: jnp.ndarray,
-               basis_name: str | None = None, dirs=(T, Z, Y, X)) -> jnp.ndarray:
+def dslash_bwd(links, phi, basis_name=None, dirs=(T, Z, Y, X)):
     """Backward-hop part only: - sum_mu D_mu(x-mu)^H (1+gamma_mu) phi(x-mu)."""
     basis = get_basis(basis_name) if basis_name else get_basis()
-    co = basis.co
-    out_dtype = jnp.result_type(phi.dtype, links.dtype)
-    val = jnp.asarray(basis.val, dtype=out_dtype)
-    eta = jnp.zeros(phi.shape, dtype=out_dtype)
+    eta = None
     for mu in dirs:
-        u = links[mu]
-        v01, v23 = val[mu, 0:2][:, None], val[mu, 2:4][:, None]
-        c01, c23 = co[mu, 0:2], co[mu, 2:4]
-        half_b = phi[..., 0:2, :] + v01 * phi[..., c01, :]
-        hb = jnp.roll(_su3_mul_dag(u, half_b), 1, axis=mu)
-        eta = eta.at[..., 0:2, :].add(-hb)
-        eta = eta.at[..., 2:4, :].add(-v23 * hb[..., c23, :])
+        half = _project(phi, mu, basis, +1.0)
+        hb = cplx.roll(_su3_mul_dag(links[mu], half), 1, mu)
+        contrib = _reconstruct(hb, mu, basis, +1.0)
+        eta = contrib if eta is None else eta + contrib
+    return cplx.zeros_like(phi) if eta is None else eta
+
+
+def dslash_hopping(links, phi, basis_name=None, dirs=(T, Z, Y, X)):
+    """Full hopping term (forward + backward, fused per direction).
+
+    Mirrors prp/prn/pbp/pbn of the reference (src/dirac_generic.h:110-303)
+    as batched tensor ops."""
+    basis = get_basis(basis_name) if basis_name else get_basis()
+    eta = None
+    for mu in dirs:
+        phi_f = cplx.roll(phi, -1, mu)
+        hf = _su3_mul(links[mu], _project(phi_f, mu, basis, -1.0))
+        c1 = _reconstruct(hf, mu, basis, -1.0)
+        hb = cplx.roll(_su3_mul_dag(links[mu], _project(phi, mu, basis, +1.0)), 1, mu)
+        c2 = _reconstruct(hb, mu, basis, +1.0)
+        c = c1 + c2
+        eta = c if eta is None else eta + c
     return eta
 
 
-def d_plus_clover(op: WilsonOperator, phi: jnp.ndarray,
-                  basis_name: str | None = None) -> jnp.ndarray:
+def d_plus_clover(op: WilsonOperator, phi, basis_name=None):
     """Full Wilson-clover operator D phi (reference d_plus_clover_PRECISION)."""
     return clover_apply(op.clover, phi) + dslash_hopping(op.links, phi, basis_name)
 
 
-def gamma5(phi: jnp.ndarray) -> jnp.ndarray:
+def gamma5(phi):
     """gamma5 phi = diag(-1,-1,+1,+1)_spin phi (src/dirac_generic.c:288-297)."""
-    return jnp.concatenate([-phi[..., 0:2, :], phi[..., 2:4, :]], axis=-2)
+    return cplx.concatenate([-phi[..., 0:2, :], phi[..., 2:4, :]], axis=-2)
 
 
-def g5_d_plus_clover(op: WilsonOperator, phi: jnp.ndarray) -> jnp.ndarray:
+def g5_d_plus_clover(op: WilsonOperator, phi):
     """gamma5 D phi -- the Hermitian-indefinite form (g5D_plus_clover)."""
     return gamma5(d_plus_clover(op, phi))
 
 
-def d_dagger(op: WilsonOperator, phi: jnp.ndarray) -> jnp.ndarray:
+def d_dagger(op: WilsonOperator, phi):
     """D^dagger phi = gamma5 D gamma5 phi (src/dirac_generic.c:281-285)."""
     return gamma5(d_plus_clover(op, gamma5(phi)))
 
@@ -190,6 +186,10 @@ def d_dagger(op: WilsonOperator, phi: jnp.ndarray) -> jnp.ndarray:
 def shift_diagonal(op: WilsonOperator, delta: complex) -> WilsonOperator:
     """Add delta to the mass diagonal: C += delta * I_12 (shift_update analog,
     src/dirac_generic.c:504-551)."""
+    if cplx.is_split(op.clover):
+        eye = jnp.eye(6, dtype=op.clover.re.dtype)
+        deye = cplx.CArray(float(np.real(delta)) * eye, float(np.imag(delta)) * eye)
+        return WilsonOperator(op.links, op.clover + deye)
     eye = jnp.eye(6, dtype=op.clover.dtype)
     return WilsonOperator(op.links, op.clover + delta * eye)
 
@@ -214,10 +214,8 @@ def d_plus_clover_naive(links: np.ndarray, clover: np.ndarray, phi: np.ndarray,
         for idx in np.ndindex(*lat):
             fwd = tuple((idx[d] + (1 if d == mu else 0)) % lat[d] for d in range(4))
             u = links[mu][idx]
-            # eta(x) -= u (1 - gamma) phi(x+mu)
             p = phi[fwd] - np.einsum("st,tc->sc", gam[mu], phi[fwd])
             eta[idx] -= np.einsum("ab,sb->sa", u, p)
-            # eta(x+mu) -= u^H (1 + gamma) phi(x)
             q = phi[idx] + np.einsum("st,tc->sc", gam[mu], phi[idx])
             eta[fwd] -= np.einsum("ba,sb->sa", np.conj(u), q)
     return eta

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import cplx
 from ..geometry import Geometry
 
 
@@ -62,37 +63,42 @@ def color_masks(geom: Geometry, scheme: str = "red_black") -> list[np.ndarray]:
     return masks
 
 
-def _bcast(mask: jnp.ndarray, field: jnp.ndarray) -> jnp.ndarray:
+def _bcast(mask: jnp.ndarray, field) -> jnp.ndarray:
     return mask.reshape(mask.shape + (1,) * (field.ndim - 4))
 
 
-def _block_sum(a: jnp.ndarray, geom: Geometry) -> jnp.ndarray:
+def _block_sum(a, geom: Geometry):
     gt, gz, gy, gx = geom.block_grid
     bt, bz, by, bx = geom.block
+    if cplx.is_split(a):
+        return cplx.CArray(_block_sum(a.re, geom), _block_sum(a.im, geom))
     return a.reshape(gt, bt, gz, bz, gy, by, gx, bx).sum(axis=(1, 3, 5, 7))
 
 
-def _block_broadcast(a: jnp.ndarray, geom: Geometry, field: jnp.ndarray) -> jnp.ndarray:
+def _block_broadcast(a, geom: Geometry, field):
+    if cplx.is_split(a):
+        return cplx.CArray(_block_broadcast(a.re, geom, field),
+                           _block_broadcast(a.im, geom, field))
     for mu in range(4):
         a = jnp.repeat(a, geom.block[mu], axis=mu)
     return _bcast(a, field)
 
 
 def _dof_sum(a):
-    return a.sum(axis=tuple(range(4, a.ndim)))
+    return cplx.sum_dof(a, tuple(range(4, a.ndim)))
 
 
 def _alpha(Dr, r, geom):
     """Per-block alpha = <Dr, r> / <Dr, Dr>, broadcast back to sites."""
-    num = _block_sum(_dof_sum(jnp.conj(Dr) * r), geom)
-    den = _block_sum(_dof_sum(jnp.abs(Dr) ** 2), geom)
+    num = _block_sum(_dof_sum(cplx.conj(Dr) * r), geom)
+    den = _block_sum(_dof_sum(cplx.abs2(Dr)), geom)
     alpha = num / jnp.where(den == 0, 1.0, den)
     return _block_broadcast(alpha, geom, r)
 
 
 def _minres(s, r, block_op, block_iter: int):
     """local_minres on every block at once (zero blocks stay zero)."""
-    delta = jnp.zeros_like(r)
+    delta = cplx.zeros_like(r)
     for _ in range(block_iter):
         Dr = block_op(r)
         a = _alpha(Dr, r, s.geom)
@@ -137,7 +143,7 @@ def _sweep(s, x, r, colors, cycles: int, block_iter: int, odd_even: bool):
 @partial(jax.jit, static_argnames=("cycles", "block_iter", "odd_even"))
 def sap_smooth(s, colors, eta, cycles: int, block_iter: int, odd_even: bool):
     """M(eta) from zero initial guess (preconditioner application)."""
-    return _sweep(s, jnp.zeros_like(eta), eta, colors, cycles, block_iter, odd_even)
+    return _sweep(s, cplx.zeros_like(eta), eta, colors, cycles, block_iter, odd_even)
 
 
 @partial(jax.jit, static_argnames=("cycles", "block_iter", "odd_even"))
@@ -168,13 +174,16 @@ class SchwarzPreconditioner:
         self.colors = tuple(jnp.asarray(m, dtype=rdtype)
                             for m in color_masks(self.geom, scheme))
 
+    def _cast(self, v):
+        return v.astype(self.dtype)
+
     def __call__(self, eta, cycles: int | None = None):
-        return sap_smooth(self.s, self.colors, eta.astype(self.dtype),
+        return sap_smooth(self.s, self.colors, self._cast(eta),
                           cycles or self.cycles, self.block_iter, self.odd_even)
 
     def smooth(self, eta, x, cycles: int | None = None):
-        return sap_smooth_from(self.s, self.colors, eta.astype(self.dtype),
-                               x.astype(self.dtype), cycles or self.cycles,
+        return sap_smooth_from(self.s, self.colors, self._cast(eta),
+                               self._cast(x), cycles or self.cycles,
                                self.block_iter, self.odd_even)
 
     def replace_stencil(self, stencil):

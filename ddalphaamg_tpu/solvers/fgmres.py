@@ -17,26 +17,28 @@ Structure: the big vector operations (operator apply, preconditioner,
 orthogonalization) are jitted device code with static shapes; the tiny
 Hessenberg/Givens scalar algebra runs on the host in float64, which both
 matches the reference's double-precision small-matrix math and keeps the
-device graph free of O(m^2) scalar work.  Vectors may be any pytree-leaf
-array shape; everything is flattened internally.
+device graph free of O(m^2) scalar work.
+
+Representation-generic: vectors may be jnp complex arrays or split-complex
+cplx.CArray pairs (the TPU path); only real scalars cross the host boundary.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import cplx
 from ..utils import device_get_complex, device_put_complex
 
 
 @dataclass
 class FGMRESResult:
-    x: jnp.ndarray
+    x: object
     iterations: int
     relres: float
     converged: bool
@@ -44,27 +46,37 @@ class FGMRESResult:
 
 
 @jax.jit
-def _orthogonalize(V: jnp.ndarray, w: jnp.ndarray):
+def _orthogonalize(V, w):
     """One classical-Gram-Schmidt step against the (zero-padded) basis V.
 
     V: [m+1, n] buffer whose rows >= j are zero; w: [n].
     Returns (w_orth, h) with h = V^H w (zero rows give zero coefficients,
     so no masking is needed) and w_orth = w - V^T h.
     """
-    h = jnp.einsum("in,n->i", jnp.conj(V), w)
-    w = w - jnp.einsum("i,in->n", h, V)
+    h = cplx.einsum("in,n->i", cplx.conj(V), w)
+    w = w - cplx.einsum("i,in->n", h, V)
     return w, h
 
 
 @jax.jit
-def _norm(w: jnp.ndarray) -> jnp.ndarray:
-    return jnp.sqrt(jnp.sum(jnp.abs(w) ** 2).real)
+def _norm2(w):
+    return cplx.norm2(w)
+
+
+def _norm(w) -> float:
+    return float(np.sqrt(_norm2(w)))
+
+
+@jax.jit
+def _axpy_basis(x, y, basis):
+    """x + sum_i y[i] * basis[i]."""
+    return x + cplx.einsum("i,in->n", y, basis)
 
 
 def fgmres(
     apply_op: Callable,
-    b: jnp.ndarray,
-    x0: Optional[jnp.ndarray] = None,
+    b,
+    x0=None,
     preconditioner: Optional[Callable] = None,
     tol: float = 1e-10,
     restart_length: int = 50,
@@ -80,21 +92,28 @@ def fgmres(
     """
     b = device_put_complex(b)
     shape = b.shape
-    dtype = b.dtype
+    split = cplx.is_split(b)
     n = int(np.prod(shape))
-    bf = jnp.ravel(b)
+    bf = b.ravel()
 
     def op_flat(v):
-        return jnp.ravel(apply_op(v.reshape(shape)))
+        return apply_op(v.reshape(*shape)).ravel()
 
     prec_flat = None
     if preconditioner is not None:
         def prec_flat(v):
-            return jnp.ravel(preconditioner(v.reshape(shape)))
+            return preconditioner(v.reshape(*shape)).ravel()
 
     m = restart_length
-    x = jnp.zeros(n, dtype=dtype) if x0 is None else jnp.ravel(x0)
+    x = cplx.zeros((n,), like=bf) if x0 is None else device_put_complex(x0).ravel()
     have_x0 = x0 is not None
+
+    def put_like(arr_np):
+        """host complex -> device vector in b's representation/precision."""
+        if split:
+            rd = bf.re.dtype
+            return cplx.CArray(jnp.asarray(arr_np.real, rd), jnp.asarray(arr_np.imag, rd))
+        return device_put_complex(arr_np, dtype=bf.dtype, split=False)
 
     norm_r0 = None
     resvec: list[float] = []
@@ -108,11 +127,11 @@ def fgmres(
             r = bf
         else:
             r = bf - op_flat(x)
-        gamma0 = float(_norm(r))
+        gamma0 = _norm(r)
         if norm_r0 is None:
             norm_r0 = gamma0
             if norm_r0 == 0.0:
-                return FGMRESResult(x.reshape(shape), 0, 0.0, True, [])
+                return FGMRESResult(x.reshape(*shape), 0, 0.0, True, [])
         if gamma0 / norm_r0 < tol:
             converged = True
             gamma_jp1 = gamma0
@@ -120,9 +139,9 @@ def fgmres(
 
         # Arnoldi buffers: basis V, preconditioned basis Z (device), small
         # Hessenberg/Givens state (host, float64).
-        V = jnp.zeros((m + 1, n), dtype=dtype)
-        Z = jnp.zeros((m, n), dtype=dtype) if prec_flat is not None else None
-        V = V.at[0].set(r / gamma0)
+        V = cplx.zeros((m + 1, n), like=bf)
+        Z = cplx.zeros((m, n), like=bf) if prec_flat is not None else None
+        V = V.at[0].set(r * (1.0 / gamma0))
         H = np.zeros((m + 1, m), dtype=np.complex128)
         cs = np.zeros(m, dtype=np.complex128)
         sn = np.zeros(m, dtype=np.complex128)
@@ -136,7 +155,11 @@ def fgmres(
             if prec_flat is not None:
                 # the preconditioner may run in lower precision (reference
                 # mixed_precision 1); the Krylov basis stays in b's dtype
-                zj = prec_flat(vj).astype(dtype)
+                zj = prec_flat(vj)
+                if split:
+                    zj = zj.astype(bf.re.dtype)
+                else:
+                    zj = zj.astype(bf.dtype)
                 Z = Z.at[j].set(zj)
                 w = op_flat(zj)
             else:
@@ -147,11 +170,11 @@ def fgmres(
             if reorthogonalize:
                 w, h2 = _orthogonalize(V, w)
                 h_host = h_host + device_get_complex(h2).astype(np.complex128)
-            hnorm = float(_norm(w))
+            hnorm = _norm(w)
             H[: j + 1, j] = h_host[: j + 1]
             H[j + 1, j] = hnorm
             if hnorm > 1e-15:
-                V = V.at[j + 1].set(w / hnorm)
+                V = V.at[j + 1].set(w * (1.0 / hnorm))
             j_used = j
 
             if abs(H[j + 1, j]) <= tol / 10:
@@ -187,18 +210,18 @@ def fgmres(
 
         # compute solution update x += Z y (or V y without preconditioning)
         if j_used >= 0:
-            y = np.zeros(j_used + 1, dtype=np.complex128)
+            y = np.zeros(m, dtype=np.complex128)
             for i in range(j_used, -1, -1):
                 y[i] = gamma[i]
                 for k in range(i + 1, j_used + 1):
                     y[i] -= H[i, k] * y[k]
                 y[i] /= H[i, i]
-            basis = Z if prec_flat is not None else V
-            yj = device_put_complex(y, dtype=dtype)
-            x = x + jnp.einsum("i,in->n", yj, basis[: j_used + 1])
+            basis = Z if prec_flat is not None else V[:m]
+            x = _axpy_basis(x, put_like(y), basis)
 
         if converged or diverged:
             break
 
     relres = float(gamma_jp1) / norm_r0 if norm_r0 else 0.0
-    return FGMRESResult(x.reshape(shape), total_iters, relres, converged and not diverged, resvec)
+    return FGMRESResult(x.reshape(*shape), total_iters, relres,
+                        converged and not diverged, resvec)

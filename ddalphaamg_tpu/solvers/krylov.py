@@ -19,8 +19,9 @@ from typing import Callable, Optional
 import jax.numpy as jnp
 import numpy as np
 
+from .. import cplx
+from ..utils import device_put_complex, vdot_host as _vdot
 from .fgmres import FGMRESResult, _norm
-from ..utils import vdot_host as _vdot
 
 
 def cgn(
@@ -32,25 +33,26 @@ def cgn(
     max_iter: int = 10000,
 ) -> FGMRESResult:
     """CG on the normal equations; converges on ||D x - b|| / ||b||."""
-    x = jnp.zeros_like(b) if x0 is None else x0
+    b = device_put_complex(b)
+    x = cplx.zeros_like(b) if x0 is None else x0
     r = b - apply_op(x) if x0 is not None else b
-    norm_b = float(_norm(b))
+    norm_b = _norm(b)
     pr = apply_op_dagger(r)          # residual of the normal equations
     p = pr
-    rho = float(_norm(pr)) ** 2
+    rho = _norm(pr) ** 2
     resvec = []
     it = 0
     for it in range(1, max_iter + 1):
         Dp = apply_op(p)
-        alpha = rho / float(_norm(Dp)) ** 2
+        alpha = rho / _norm(Dp) ** 2
         x = x + alpha * p
         r = r - alpha * Dp
-        true_rel = float(_norm(r)) / norm_b
+        true_rel = _norm(r) / norm_b
         resvec.append(true_rel)
         if true_rel < tol:
             return FGMRESResult(x, it, true_rel, True, resvec)
         pr = apply_op_dagger(r)
-        rho_new = float(_norm(pr)) ** 2
+        rho_new = _norm(pr) ** 2
         beta = rho_new / rho
         rho = rho_new
         p = pr + beta * p
@@ -65,12 +67,13 @@ def bicgstab(
     max_iter: int = 10000,
 ) -> FGMRESResult:
     """BiCGstab with shadow residual r0 = r (reference variant)."""
-    x = jnp.zeros_like(b) if x0 is None else x0
+    b = device_put_complex(b)
+    x = cplx.zeros_like(b) if x0 is None else x0
     r = b - apply_op(x) if x0 is not None else b
-    norm_b = float(_norm(b))
+    norm_b = _norm(b)
     r0 = r
     rho = alpha = omega = 1.0 + 0.0j
-    v = p = jnp.zeros_like(b)
+    v = p = cplx.zeros_like(b)
     resvec = []
     it = 0
     for it in range(1, max_iter + 1):
@@ -87,7 +90,7 @@ def bicgstab(
         omega = _vdot(t, s) / _vdot(t, t)
         x = x + alpha * p + omega * s
         r = s - omega * t
-        rel = float(_norm(r)) / norm_b
+        rel = _norm(r) / norm_b
         resvec.append(rel)
         if rel < tol:
             return FGMRESResult(x, it, rel, True, resvec)
@@ -104,13 +107,14 @@ def fgcr(
     max_restarts: int = 20,
 ) -> FGMRESResult:
     """Flexible GCR with restarts."""
-    x = jnp.zeros_like(b) if x0 is None else x0
-    norm_b = float(_norm(b))
+    b = device_put_complex(b)
+    x = cplx.zeros_like(b) if x0 is None else x0
+    norm_b = _norm(b)
     resvec = []
     total = 0
     for _ in range(max_restarts):
         r = b - apply_op(x)
-        rel = float(_norm(r)) / norm_b
+        rel = _norm(r) / norm_b
         if rel < tol:
             return FGMRESResult(x, total, rel, True, resvec)
         P, DP = [], []
@@ -122,16 +126,16 @@ def fgcr(
                 c = _vdot(dpk, w)
                 z = z - c * pk
                 w = w - c * dpk
-            wn = float(_norm(w))
+            wn = _norm(w)
             if wn < 1e-15:
                 break
-            z, w = z / wn, w / wn
+            z, w = z * (1.0 / wn), w * (1.0 / wn)
             P.append(z)
             DP.append(w)
             a = _vdot(w, r)
             x = x + a * z
             r = r - a * w
-            rel = float(_norm(r)) / norm_b
+            rel = _norm(r) / norm_b
             resvec.append(rel)
             if rel < tol:
                 return FGMRESResult(x, total, rel, True, resvec)

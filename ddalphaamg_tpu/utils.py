@@ -15,6 +15,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import cplx
+
+
+def default_split() -> bool:
+    """True when the split-complex representation must be used (TPU: the
+    runtime executes no complex HLOs at all)."""
+    return jax.devices()[0].platform != "cpu"
+
 
 @jax.jit
 def _combine(re, im):
@@ -34,9 +42,18 @@ def default_complex_dtype():
     return jnp.complex64
 
 
-def device_put_complex(x, dtype=None):
-    """numpy (possibly complex) -> device array, complex-transfer-safe."""
+def device_put_complex(x, dtype=None, split=None):
+    """numpy (possibly complex) -> device array, complex-transfer-safe.
+
+    split=True yields a cplx.CArray (the TPU representation); split=None
+    auto-selects by platform."""
+    if isinstance(x, cplx.CArray):
+        return x if dtype is None else x.astype(dtype)
+    if split is None:
+        split = default_split()
     if isinstance(x, jax.Array) and not isinstance(x, np.ndarray):
+        if split and jnp.iscomplexobj(x):
+            return cplx.as_carray(x if dtype is None else x.astype(dtype))
         return x if dtype is None else x.astype(dtype)
     x = np.asarray(x)
     if dtype is None:
@@ -46,11 +63,15 @@ def device_put_complex(x, dtype=None):
     rdtype = jnp.zeros((), dtype).real.dtype
     re = jnp.asarray(np.ascontiguousarray(x.real), dtype=rdtype)
     im = jnp.asarray(np.ascontiguousarray(x.imag), dtype=rdtype)
+    if split:
+        return cplx.CArray(re, im)
     return _combine(re, im)
 
 
 def device_get_complex(x) -> np.ndarray:
     """device array -> numpy, complex-transfer-safe."""
+    if isinstance(x, cplx.CArray):
+        return cplx.to_numpy(x)
     if isinstance(x, np.ndarray):
         return x
     if jnp.iscomplexobj(x):
@@ -61,8 +82,8 @@ def device_get_complex(x) -> np.ndarray:
 
 @jax.jit
 def _vdot_ri(a, b):
-    v = jnp.vdot(a, b)
-    return v.real, v.imag
+    v = cplx.vdot(a, b)
+    return cplx.real(v), cplx.imag(v)
 
 
 def vdot_host(a, b) -> complex:
@@ -73,7 +94,7 @@ def vdot_host(a, b) -> complex:
 
 @jax.jit
 def _norm2(x):
-    return jnp.sum(jnp.abs(x) ** 2).real
+    return cplx.norm2(x)
 
 
 def norm_host(x) -> float:

@@ -1,0 +1,84 @@
+"""Split-complex (CArray) end-to-end path: must reproduce the complex path
+(and hence the reference parity) exactly up to rounding."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from ddalphaamg_tpu import cplx
+from ddalphaamg_tpu import io as dio
+from ddalphaamg_tpu.geometry import Geometry
+from ddalphaamg_tpu.mg.hierarchy import Multigrid, MGConfig, LevelConfig
+from ddalphaamg_tpu.operators import wilson
+from ddalphaamg_tpu.operators.stencil import WilsonStencil
+from ddalphaamg_tpu.smoothers.sap import SchwarzPreconditioner
+from ddalphaamg_tpu.solvers import fgmres
+
+LAT = (4, 4, 4, 4)
+M0, CSW = -0.5, 1.0
+
+
+@pytest.fixture(scope="module")
+def ops(conf4):
+    U, _ = dio.read_gauge_field(conf4, anti_periodic=True)
+    opc = wilson.WilsonOperator.from_gauge(jnp.asarray(U), m0=M0, csw=CSW)
+    ops_ = wilson.WilsonOperator.from_gauge(cplx.as_carray(U), m0=M0, csw=CSW)
+    return opc, ops_
+
+
+def test_clover_and_dslash_equivalence(ops):
+    opc, ops_ = ops
+    np.testing.assert_allclose(cplx.to_numpy(ops_.clover), np.asarray(opc.clover),
+                               atol=1e-11)
+    rng = np.random.default_rng(0)
+    phi = rng.normal(size=(*LAT, 4, 3)) + 1j * rng.normal(size=(*LAT, 4, 3))
+    a = np.asarray(wilson.d_plus_clover(opc, jnp.asarray(phi)))
+    b = cplx.to_numpy(wilson.d_plus_clover(ops_, cplx.as_carray(phi)))
+    np.testing.assert_allclose(b, a, atol=1e-10)
+
+
+def test_fgmres_split_parity(ops):
+    """Plain GMRES in split mode: same 149 iterations as the reference."""
+    _, ops_ = ops
+    b = cplx.as_carray(np.ones((*LAT, 4, 3), dtype=complex))
+    res = fgmres(lambda v: wilson.d_plus_clover(ops_, v), b,
+                 tol=1e-10, restart_length=50, max_restarts=20)
+    assert res.converged
+    assert res.iterations == 149, res.iterations
+
+
+def test_sap_split_parity(ops):
+    """SAP-preconditioned FGMRES in split mode (f32 smoother parts, f64
+    outer parts): 39 iterations like the complex path / reference."""
+    _, ops_ = ops
+    geom = Geometry(lattice=LAT, block=(2, 2, 2, 2))
+    stencil = WilsonStencil.build(ops_, geom, dtype=jnp.complex64)
+    M = SchwarzPreconditioner(stencil, block_iter=4, cycles=1, odd_even=False)
+    b = cplx.as_carray(np.ones((*LAT, 4, 3), dtype=complex))
+    res = fgmres(lambda v: wilson.d_plus_clover(ops_, v), b,
+                 preconditioner=M, tol=1e-10, restart_length=50, max_restarts=20)
+    assert res.converged
+    assert res.iterations == 39, res.iterations
+    r = np.ones((*LAT, 4, 3)) - cplx.to_numpy(wilson.d_plus_clover(ops_, res.x))
+    rel = np.linalg.norm(r) / np.linalg.norm(np.ones((*LAT, 4, 3)))
+    assert rel < 1e-9
+
+
+@pytest.mark.slow
+def test_two_level_split(ops):
+    """2-level AMG entirely in split representation."""
+    _, ops_ = ops
+    cfg = MGConfig(levels=[
+        LevelConfig(lattice=LAT, block=(2, 2, 2, 2), post_smooth_iter=2,
+                    block_iter=4, num_test_vectors=10, setup_iter=2),
+        LevelConfig(lattice=(2, 2, 2, 2), block=(1, 1, 1, 1)),
+    ], split=True)
+    mg = Multigrid(ops_, cfg)
+    mg.bootstrap_setup()
+    b = cplx.as_carray(np.ones((*LAT, 4, 3), dtype=complex))
+    res = fgmres(lambda v: wilson.d_plus_clover(ops_, v), b,
+                 preconditioner=mg, tol=1e-10, restart_length=50, max_restarts=20)
+    assert res.converged
+    r = np.ones((*LAT, 4, 3)) - cplx.to_numpy(wilson.d_plus_clover(ops_, res.x))
+    assert np.linalg.norm(r) / np.linalg.norm(np.ones((*LAT, 4, 3))) < 1e-9
+    assert res.iterations <= 16, res.iterations
