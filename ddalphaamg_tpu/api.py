@@ -34,7 +34,8 @@ from .mg.hierarchy import LevelConfig, MGConfig, Multigrid
 from .operators.oddeven import OddEvenPreconditioner
 from .operators.wilson import WilsonOperator, d_plus_clover, d_dagger, shift_diagonal
 from .smoothers import SchwarzPreconditioner
-from .solvers import bicgstab, cgn, fgmres
+from . import cplx
+from .solvers import bicgstab, cgn, fgmres, fgmres_mp
 
 
 @dataclasses.dataclass
@@ -191,6 +192,23 @@ class Solver:
             res = cgn(lambda v: d_plus_clover(self.op, v),
                       lambda v: d_dagger(self.op, v), b, x0=x0, tol=tol,
                       max_iter=p.restart_length * p.max_restarts)
+        elif p.mixed_precision == 2:
+            # fgmres_MP (src/linsolve.c:153): f64 outer / f32 inner; the
+            # operator is applied in whatever precision the vector carries
+            ops = {}
+
+            def apply_mp(v):
+                rd = v.rdtype if cplx.is_split(v) else \
+                    jnp.zeros((), v.dtype).real.dtype
+                if rd not in ops:
+                    cd = jnp.complex128 if rd == jnp.float64 else jnp.complex64
+                    ops[rd] = self.op.astype(cd)
+                return d_plus_clover(ops[rd], v)
+
+            res = fgmres_mp(apply_mp, b, x0=x0,
+                            preconditioner=self.preconditioner, tol=tol,
+                            restart_length=p.restart_length,
+                            max_restarts=p.max_restarts)
         else:
             res = fgmres(lambda v: d_plus_clover(self.op, v), b, x0=x0,
                          preconditioner=self.preconditioner, tol=tol,

@@ -1,4 +1,4 @@
-from .fgmres import fgmres, FGMRESResult
+from .fgmres import fgmres, fgmres_mp, FGMRESResult
 from .krylov import cgn, bicgstab, fgcr
 
-__all__ = ["fgmres", "FGMRESResult", "cgn", "bicgstab", "fgcr"]
+__all__ = ["fgmres", "fgmres_mp", "FGMRESResult", "cgn", "bicgstab", "fgcr"]

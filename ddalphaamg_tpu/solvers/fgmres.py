@@ -225,3 +225,175 @@ def fgmres(
     relres = float(gamma_jp1) / norm_r0 if norm_r0 else 0.0
     return FGMRESResult(x.reshape(*shape), total_iters, relres,
                         converged and not diverged, resvec)
+
+
+def _to_rdtype(v, rdtype):
+    """Cast a vector (CArray or complex jnp array) to a real-part dtype."""
+    if cplx.is_split(v):
+        return v.astype_real(rdtype)
+    return v.astype(jnp.complex128 if rdtype == jnp.float64 else jnp.complex64)
+
+
+def fgmres_mp(
+    apply_op,
+    b,
+    x0=None,
+    preconditioner: Optional[Callable] = None,
+    tol: float = 1e-10,
+    restart_length: int = 10,
+    max_restarts: int = 100,
+    inner_rdtype=jnp.float32,
+    outer_rdtype=jnp.float64,
+    print_residuals: bool = False,
+) -> FGMRESResult:
+    """Mixed-precision restarted FGMRES (reference fgmres_MP,
+    src/linsolve.c:153-314).
+
+    Outer loop in double: the true residual r = b - D x, the solution
+    accumulation x += Z y, and the Hessenberg/Givens recurrences (host
+    float64, as in fgmres()).  Inner loop in float: the Krylov basis V, the
+    preconditioned basis Z, the operator applies inside the Arnoldi step,
+    and the preconditioner.  Every restart is a precision refresh — the f32
+    Arnoldi stalls near 1e-7, the f64 restart residual re-anchors it (the
+    reference's trans_float/trans_back_float boundary, src/linsolve.c:230-246).
+
+    On TPU f64 is software-emulated, so it is touched exactly once per
+    restart (one operator apply + one axpy) — the Arnoldi hot loop stays f32.
+
+    apply_op(v) must preserve the precision of v: it is called with f64
+    vectors for the restart residual and f32 vectors inside Arnoldi.
+    """
+    b = device_put_complex(b)
+    shape = b.shape
+    split = cplx.is_split(b)
+    n = int(np.prod(shape))
+    bf = _to_rdtype(b.ravel(), outer_rdtype)
+
+    def op_flat(v):
+        return apply_op(v.reshape(*shape)).ravel()
+
+    prec_flat = None
+    if preconditioner is not None:
+        def prec_flat(v):
+            return preconditioner(v.reshape(*shape)).ravel()
+
+    m = restart_length
+    if x0 is None:
+        x = cplx.zeros((n,), like=bf) if split else jnp.zeros(
+            (n,), dtype=jnp.complex128 if outer_rdtype == jnp.float64 else jnp.complex64)
+        have_x0 = False
+    else:
+        x = _to_rdtype(device_put_complex(x0).ravel(), outer_rdtype)
+        have_x0 = True
+
+    def put_inner(arr_np):
+        if split:
+            return cplx.CArray(jnp.asarray(arr_np.real, inner_rdtype),
+                               jnp.asarray(arr_np.imag, inner_rdtype))
+        cd = jnp.complex128 if inner_rdtype == jnp.float64 else jnp.complex64
+        return device_put_complex(arr_np, dtype=cd, split=False)
+
+    norm_r0 = None
+    resvec: list[float] = []
+    total_iters = 0
+    converged = False
+    diverged = False
+    relres = 1.0
+
+    for ol in range(max_restarts):
+        # ---- outer (double): true residual, precision refresh ----
+        r = bf if (ol == 0 and not have_x0) else bf - op_flat(x)
+        gamma0 = _norm(r)
+        if norm_r0 is None:
+            norm_r0 = gamma0
+            if norm_r0 == 0.0:
+                return FGMRESResult(x.reshape(*shape), 0, 0.0, True, [])
+        relres = gamma0 / norm_r0
+        if relres < tol:
+            converged = True
+            break
+
+        # ---- inner (float): Arnoldi ----
+        v0 = _to_rdtype(r * (1.0 / gamma0), inner_rdtype)
+        V = cplx.zeros((m + 1, n), like=v0) if split else jnp.zeros(
+            (m + 1, n), dtype=v0.dtype)
+        V = V.at[0].set(v0)
+        Z = cplx.zeros((m, n), like=v0) if (split and prec_flat is not None) \
+            else (jnp.zeros((m, n), dtype=v0.dtype) if prec_flat is not None else None)
+        H = np.zeros((m + 1, m), dtype=np.complex128)
+        cs = np.zeros(m, dtype=np.complex128)
+        sn = np.zeros(m, dtype=np.complex128)
+        gamma = np.zeros(m + 1, dtype=np.complex128)
+        gamma[0] = gamma0
+
+        j_used = -1
+        for j in range(m):
+            total_iters += 1
+            vj = V[j]
+            if prec_flat is not None:
+                zj = _to_rdtype(prec_flat(vj), inner_rdtype)
+                Z = Z.at[j].set(zj)
+                w = op_flat(zj)
+            else:
+                w = op_flat(vj)
+            w = _to_rdtype(w, inner_rdtype)
+
+            w, h = _orthogonalize(V, w)
+            h_host = device_get_complex(h).astype(np.complex128)
+            hnorm = _norm(w)
+            H[: j + 1, j] = h_host[: j + 1]
+            H[j + 1, j] = hnorm
+            if hnorm > 1e-15:
+                V = V.at[j + 1].set(w * (1.0 / hnorm))
+            j_used = j
+
+            if abs(H[j + 1, j]) <= tol / 10:
+                converged = True
+                break
+
+            for i in range(j):
+                beta = -sn[i] * H[i, j] + cs[i] * H[i + 1, j]
+                H[i, j] = np.conj(cs[i]) * H[i, j] + np.conj(sn[i]) * H[i + 1, j]
+                H[i + 1, j] = beta
+            beta = np.sqrt(abs(H[j, j]) ** 2 + abs(H[j + 1, j]) ** 2)
+            sn[j] = H[j + 1, j] / beta
+            cs[j] = H[j, j] / beta
+            gamma[j + 1] = -sn[j] * gamma[j]
+            gamma[j] = np.conj(cs[j]) * gamma[j]
+            H[j, j] = beta
+            H[j + 1, j] = 0.0
+
+            rel = abs(gamma[j + 1]) / norm_r0
+            resvec.append(rel)
+            if print_residuals:
+                print(f"| approx. rel. res. after {total_iters:6d} iterations: {rel:e} |")
+            if rel < tol:
+                converged = True
+                break
+            if rel > 1e5:
+                diverged = True
+                break
+
+        # ---- outer (double): accumulate solution update ----
+        if j_used >= 0:
+            y = np.zeros(m, dtype=np.complex128)
+            for i in range(j_used, -1, -1):
+                y[i] = gamma[i]
+                for k in range(i + 1, j_used + 1):
+                    y[i] -= H[i, k] * y[k]
+                y[i] /= H[i, i]
+            basis = Z if prec_flat is not None else V[:m]
+            update = cplx.einsum("i,in->n", put_inner(y), basis)
+            x = x + _to_rdtype(update, outer_rdtype)
+        if diverged:
+            break
+        # converged from the inner estimate still gets one more outer
+        # residual check at the top of the loop (FGMRES_RESTEST analog)
+        if converged:
+            converged = False  # re-verify with the true double residual
+
+    if not converged and not diverged and norm_r0:
+        relres = _norm(bf - op_flat(x)) / norm_r0
+        converged = relres < tol
+    return FGMRESResult(x.reshape(*shape), total_iters, relres,
+                        converged and not diverged, resvec)

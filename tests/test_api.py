@@ -1,0 +1,95 @@
+"""End-to-end library API tests (reference dd_alpha_amg.h:42-84 surface):
+parse ini -> Solver -> read_conf -> setup -> solve -> shift_update.
+"""
+
+import numpy as np
+import pytest
+
+from ddalphaamg_tpu import api, config
+
+INI_4 = """
+|--- minimal 4^4 2-level run ---|
+d0 global lattice: 4 4 4 4
+d0 block lattice: 2 2 2 2
+d0 post smooth iter: 2
+d0 block iter: 4
+d0 test vectors: 8
+d0 setup iter: 2
+number of levels: 2
+method: 2
+interpolation: 2
+mixed precision: 1
+odd even preconditioning: 1
+kcycle: 1
+m0: -0.5
+csw: 1.0
+tolerance for relative residual: 1e-10
+iterations between restarts: 50
+maximum of restarts: 20
+right hand side: 0
+"""
+
+
+@pytest.fixture(scope="module")
+def solver(conf4):
+    p = config.parse_ini(INI_4)
+    p.configuration = conf4
+    s = api.Solver(p)
+    plaq, header_plaq = s.read_conf()
+    assert abs(plaq - header_plaq) < 1e-10
+    s.setup()
+    return s
+
+
+def test_ini_parse_roundtrip():
+    p = config.parse_ini(INI_4)
+    assert p.num_levels == 2
+    assert p.depth[0].global_lattice == (4, 4, 4, 4)
+    assert p.depth[0].test_vectors == 8
+    assert p.depth[1].global_lattice == (2, 2, 2, 2)
+    assert p.method == 2 and p.mixed_precision == 1
+    assert p.tol == 1e-10
+
+
+def test_solve_mg(solver):
+    x, info = solver.solve()
+    assert info.converged, info.relres
+    b = config.make_rhs("ones", solver.lattice)
+    r = b - np.asarray(solver.apply_operator(x))
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-9
+    assert info.iterations <= 20
+
+
+def test_solve_mixed_precision_2(conf4):
+    """mixed_precision 2 routes through fgmres_MP (src/linsolve.c:153)."""
+    p = config.parse_ini(INI_4)
+    p.configuration = conf4
+    p.mixed_precision = 2
+    p.restart_length = 10
+    s = api.Solver(p)
+    s.read_conf()
+    s.setup()
+    x, info = s.solve()
+    assert info.converged, info.relres
+    b = config.make_rhs("ones", s.lattice)
+    r = b - np.asarray(s.apply_operator(x))
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-9
+
+
+def test_apply_preconditioner(solver):
+    b = config.make_rhs("ones", solver.lattice)
+    z = np.asarray(solver.apply_preconditioner(b))
+    # a useful preconditioner reduces the residual of D z = b
+    r = b - np.asarray(solver.apply_operator(z))
+    assert np.linalg.norm(r) < np.linalg.norm(b)
+
+
+def test_shift_update(conf4):
+    p = config.parse_ini(INI_4)
+    p.configuration = conf4
+    s = api.Solver(p)
+    s.read_conf()
+    s.setup()
+    s.shift_update(-0.45)
+    x, info = s.solve()
+    assert info.converged

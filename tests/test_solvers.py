@@ -82,3 +82,30 @@ def test_fgcr(op4, rhs_ones):
                tol=1e-8, restart_length=50, max_restarts=20)
     assert res.converged
     assert true_relres(op4, res.x, b) < 1e-7
+
+
+def test_fgmres_mp_4to4(op4, rhs_ones):
+    """Mixed-precision FGMRES (reference fgmres_MP, src/linsolve.c:153):
+    f32 Arnoldi reaches 1e-10 true (f64) residual via restart refreshes."""
+    import jax.numpy as jnp
+
+    from ddalphaamg_tpu.solvers import fgmres_mp
+
+    ops = {}
+
+    def apply_mp(v):
+        rd = jnp.zeros((), v.dtype).real.dtype
+        if rd not in ops:
+            cd = jnp.complex128 if rd == jnp.float64 else jnp.complex64
+            ops[rd] = op4.astype(cd)
+        return wilson.d_plus_clover(ops[rd], v)
+
+    b = jnp.asarray(rhs_ones)
+    res = fgmres_mp(apply_mp, b, tol=1e-10, restart_length=30,
+                    max_restarts=30)
+    assert res.converged, res.relres
+    # the f32 inner loop alone cannot certify 1e-10: check in f64
+    assert true_relres(op4, np.asarray(res.x.astype(jnp.complex128)),
+                       rhs_ones) < 1e-9
+    # the inner basis really was float32, the restart refresh float64
+    assert np.dtype("float32") in ops and np.dtype("float64") in ops
