@@ -127,7 +127,16 @@ class Solver:
         if p.method in (1, 2, 3):
             if p.num_levels > 1 and p.interpolation > 0:
                 self.mg = Multigrid(self.op, self._mg_config())
-                if p.interpolation >= 2:
+                if p.interpolation == 4:
+                    # read test vectors from checkpoint + re_setup
+                    # (reference read_tv_from_file, src/setup_generic.c:131)
+                    assert p.tv_io_file_name, "interpolation 4 needs tv file"
+                    tvs = dio.read_test_vectors(
+                        p.tv_io_file_name, self.lattice, n=d0.test_vectors,
+                        single_file=p.tv_io_single_file)
+                    self.mg.set_test_vectors(
+                        tvs.reshape(d0.test_vectors, *self.lattice, 4, 3))
+                elif p.interpolation >= 2:
                     self.mg.bootstrap_setup()
                 self.preconditioner = self.mg
             else:
@@ -222,6 +231,19 @@ class Solver:
                          converged=res.converged, solve_time=dt,
                          coarse_average=coarse_avg)
         return device_get_complex(res.x), info
+
+    def write_test_vectors(self, path: Optional[str] = None,
+                           single_file: Optional[bool] = None):
+        """Checkpoint the adaptive setup's test vectors (reference
+        vector_io_single_file WRITE mode, src/io.c:951); reload in a later
+        run with `interpolation: 4`."""
+        assert self.mg is not None, "no multigrid setup to checkpoint"
+        path = path or self.p.tv_io_file_name
+        single = self.p.tv_io_single_file if single_file is None else single_file
+        tvs = self.mg.get_test_vectors()
+        dio.write_test_vectors(path, tvs.reshape(tvs.shape[0], *self.lattice, 12),
+                               single_file=single,
+                               header={"m0": self.p.m0, "csw": self.p.csw})
 
     def shift_update(self, new_m0: float):
         """Change the mass parameter and re-propagate through the hierarchy

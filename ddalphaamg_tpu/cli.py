@@ -31,6 +31,21 @@ def main(argv=None):
     from .utils import device_get_complex, device_put_complex
 
     params = config.parse_ini(args.ini)
+
+    if params.evaluation:
+        # parameter-scan mode (reference "evaluation: 1", src/var_table.c)
+        from .evaluation import ScanConfig, run_scan
+        sc = ScanConfig(
+            scan_variable=params.scan_variable, start_val=params.start_val,
+            end_val=params.end_val, step_size=params.step_size,
+            multiplicative=params.multiplicative,
+            shift_update=params.scan_shift_update,
+            re_setup=params.scan_re_setup, track_error=params.track_error,
+            track_cgn_error=params.track_cgn_error,
+            average_over=params.average_over)
+        run_scan(params, sc)
+        return 0
+
     solver = api.Solver(params)
 
     print(f"configuration: {params.configuration}")

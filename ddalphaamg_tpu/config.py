@@ -58,6 +58,20 @@ class SolverParams:
     print_mode: int = 1
     randomize_test_vectors: bool = False
     seed: int = 42
+    tv_io_single_file: bool = True   # "test vector io from single file"
+    tv_io_file_name: Optional[str] = None
+    # evaluation / parameter-scan mode (reference src/init.c:914-941)
+    evaluation: bool = False
+    scan_variable: str = ""
+    start_val: float = 0.0
+    end_val: float = 0.0
+    step_size: float = 1.0
+    multiplicative: bool = False
+    scan_shift_update: bool = True
+    scan_re_setup: bool = True
+    track_error: bool = False
+    track_cgn_error: bool = False
+    average_over: int = 1
 
     def validate(self):
         """Divisibility / consistency checks (reference validate_parameters,
@@ -100,6 +114,13 @@ _BOOL_KEYS = {
     "odd even preconditioning": "odd_even",
     "kcycle": "kcycle",
     "randomize test vectors": "randomize_test_vectors",
+    "test vector io from single file": "tv_io_single_file",
+    "evaluation": "evaluation",
+    "multiplicative": "multiplicative",
+    "shift update": "scan_shift_update",
+    "setup update": "scan_re_setup",
+    "track error": "track_error",
+    "compare with CGN error": "track_cgn_error",
 }
 _INT_KEYS = {
     "format": "format",
@@ -114,6 +135,7 @@ _INT_KEYS = {
     "interpolation": "interpolation",
     "mixed precision": "mixed_precision",
     "print mode": "print_mode",
+    "average over": "average_over",
 }
 _FLOAT_KEYS = {
     "m0": "m0",
@@ -121,6 +143,9 @@ _FLOAT_KEYS = {
     "tolerance for relative residual": "tol",
     "coarse grid tolerance": "coarse_tol",
     "kcycle tolerance": "kcycle_tol",
+    "start value": "start_val",
+    "end value": "end_val",
+    "step size": "step_size",
 }
 _RHS = {0: "ones", 1: "first", 2: "random", 3: "zero"}
 
@@ -168,6 +193,10 @@ def parse_ini(path_or_text: str) -> SolverParams:
             continue
         if key == "configuration":
             p.configuration = val
+        elif key == "test vector io file name":
+            p.tv_io_file_name = val
+        elif key == "scan variable":
+            p.scan_variable = val
         elif key == "right hand side":
             p.right_hand_side = _RHS.get(int(val), "ones")
         elif key in _BOOL_KEYS:

@@ -33,6 +33,15 @@ def read_gauge_field(path: str, anti_periodic: bool = True):
       header_plaquette: float, the average plaquette stored in the file
          header (normalized to [0, 3] as in the reference).
     """
+    try:
+        from . import native
+        nat = native.read_gauge_field(path, anti_periodic=anti_periodic)
+    except Exception:
+        nat = None
+    if nat is not None:
+        re, im, plaq = nat
+        return re + 1j * im, plaq
+
     with open(path, "rb") as f:
         raw = f.read()
     dims = np.frombuffer(raw, dtype="<i4", count=4)
@@ -77,19 +86,143 @@ def write_gauge_field(path: str, U: np.ndarray, plaquette: float,
         f.write(flat.tobytes())
 
 
+def _skip_header(f) -> None:
+    """Skip an optional '<header>\\n ... </header>\\n' text preamble
+    (reference vector_io, src/io.c:733-745)."""
+    first = f.readline()
+    if first != b"<header>\n":
+        f.seek(0)
+        return
+    while True:
+        line = f.readline()
+        if not line:
+            raise ValueError("unterminated <header> block")
+        if line == b"</header>\n":
+            return
+
+
+def _header_text(fields: dict | None) -> bytes:
+    lines = ["<header>"]
+    for k, v in (fields or {}).items():
+        lines.append(f"\t{k}: {v}")
+    lines.append("</header>\n")
+    return "\n".join(lines).encode()
+
+
 def read_vector(path: str, lattice, dof: int = 12) -> np.ndarray:
     """Read a spinor/test-vector file (reference: src/io.c:704-951 layout:
-    lexicographic TZYX site order, dof complex128 per site)."""
+    optional text header, then lexicographic TZYX site order, dof complex128
+    per site, native little-endian)."""
     lt, lz, ly, lx = lattice
     n = lt * lz * ly * lx * dof
-    data = np.fromfile(path, dtype="<f8", count=2 * n)
+    with open(path, "rb") as f:
+        _skip_header(f)
+        data = np.fromfile(f, dtype="<f8", count=2 * n)
     v = data[0::2] + 1j * data[1::2]
     return v.reshape(lt, lz, ly, lx, dof)
 
 
-def write_vector(path: str, v: np.ndarray) -> None:
+def write_vector(path: str, v: np.ndarray, header: dict | None = None) -> None:
     v = np.asarray(v)
     flat = np.empty(v.size * 2, dtype="<f8")
     flat[0::2] = v.real.ravel()
     flat[1::2] = v.imag.ravel()
-    flat.tofile(path)
+    with open(path, "wb") as f:
+        if header is not None:
+            f.write(_header_text(header))
+        f.write(flat.tobytes())
+
+
+def read_test_vectors(path: str, lattice, n: int, dof: int = 12,
+                      single_file: bool = True) -> np.ndarray:
+    """Test-vector checkpoint read (reference vector_io_single_file,
+    src/io.c:951-1124; per-vector files src/setup_generic.c:131-162).
+
+    single_file: one file with a mandatory header then n vectors
+    back-to-back; otherwise per-vector files `path.XX`."""
+    lt, lz, ly, lx = lattice
+    per = lt * lz * ly * lx * dof
+    if single_file:
+        with open(path, "rb") as f:
+            _skip_header(f)
+            data = np.fromfile(f, dtype="<f8", count=2 * per * n)
+        if data.size != 2 * per * n:
+            raise ValueError(f"{path}: expected {n} vectors")
+        v = data[0::2] + 1j * data[1::2]
+        return v.reshape(n, lt, lz, ly, lx, dof)
+    return np.stack([read_vector(f"{path}.{i:02d}", lattice, dof)
+                     for i in range(n)])
+
+
+def write_test_vectors(path: str, tvs: np.ndarray, single_file: bool = True,
+                       header: dict | None = None) -> None:
+    """Test-vector checkpoint write (inverse of read_test_vectors)."""
+    tvs = np.asarray(tvs)
+    if single_file:
+        flat = np.empty(tvs.size * 2, dtype="<f8")
+        flat[0::2] = tvs.real.ravel()
+        flat[1::2] = tvs.imag.ravel()
+        with open(path, "wb") as f:
+            f.write(_header_text({"vectors": tvs.shape[0], **(header or {})}))
+            f.write(flat.tobytes())
+        return
+    for i in range(tvs.shape[0]):
+        write_vector(f"{path}.{i:02d}", tvs[i])
+
+
+def _proc_postfix(coords) -> str:
+    """Per-rank filename postfix (reference read_conf_multi, src/io.c:599)."""
+    return f".pt{coords[T]}pz{coords[Z]}py{coords[Y]}px{coords[X]}"
+
+
+def split_gauge_field(path_in: str, path_out: str, proc_grid) -> list[str]:
+    """Split a single-file config into per-process files (the reference's
+    conf/split/split_conf.c tool).  proc_grid: processes per dimension."""
+    U, plaq = read_gauge_field(path_in, anti_periodic=False)
+    _, lt, lz, ly, lx = U.shape[:5]
+    pt, pz, py, px = proc_grid
+    ll = (lt // pt, lz // pz, ly // py, lx // px)
+    names = []
+    for c in np.ndindex(pt, pz, py, px):
+        sl = tuple(slice(c[mu] * ll[mu], (c[mu] + 1) * ll[mu]) for mu in range(4))
+        name = path_out + _proc_postfix(c)
+        _write_gauge_block(name, (lt, lz, ly, lx), U[(slice(None),) + sl], plaq)
+        names.append(name)
+    return names
+
+
+def _write_gauge_block(path, global_lattice, Ublock, plaquette):
+    site_major = np.moveaxis(np.asarray(Ublock), 0, 4)
+    flat = np.empty((*site_major.shape, 2), dtype="<f8")
+    flat[..., 0] = site_major.real
+    flat[..., 1] = site_major.imag
+    with open(path, "wb") as f:
+        f.write(np.array(global_lattice, dtype="<i4").tobytes())
+        f.write(np.array([plaquette], dtype="<f8").tobytes())
+        f.write(flat.tobytes())
+
+
+def read_gauge_field_multi(path: str, proc_grid, anti_periodic: bool = True):
+    """Read a multi-file config `path.pt%dpz%dpy%dpx%d` (reference
+    read_conf_multi, src/io.c:566-700)."""
+    pt, pz, py, px = proc_grid
+    U = None
+    plaq = None
+    for c in np.ndindex(pt, pz, py, px):
+        with open(path + _proc_postfix(c), "rb") as f:
+            raw = f.read()
+        dims = np.frombuffer(raw, dtype="<i4", count=4)
+        lt, lz, ly, lx = (int(d) for d in dims)
+        plaq = float(np.frombuffer(raw, dtype="<f8", count=1, offset=16)[0])
+        ll = (lt // pt, lz // pz, ly // py, lx // px)
+        n = int(np.prod(ll)) * 4 * 18
+        data = np.frombuffer(raw, dtype="<f8", count=n, offset=24)
+        blk = data.reshape(*ll, 4, 3, 3, 2)
+        blk = np.moveaxis(blk[..., 0] + 1j * blk[..., 1], 4, 0)
+        if U is None:
+            U = np.zeros((4, lt, lz, ly, lx, 3, 3), dtype=np.complex128)
+        sl = tuple(slice(c[mu] * ll[mu], (c[mu] + 1) * ll[mu]) for mu in range(4))
+        U[(slice(None),) + sl] = blk
+    if anti_periodic:
+        U[T, -1] = -U[T, -1]
+    return U, plaq

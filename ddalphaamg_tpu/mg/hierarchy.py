@@ -289,6 +289,23 @@ class Multigrid:
                                / max(1, level.cfg.setup_iter)))
             self._inv_iter_fcycle(level.next, sub)
 
+    def set_test_vectors(self, tvs):
+        """Install depth-0 test vectors (e.g. from a checkpoint file) and
+        rebuild the hierarchy (reference read_tv_from_file_PRECISION,
+        src/setup_generic.c:131-162, interpolation: 4)."""
+        from ..utils import device_put_complex
+        tvs = device_put_complex(np.asarray(tvs), dtype=self.cfg.dtype,
+                                 split=self.cfg.split)
+        want = self.fine.cfg.num_test_vectors
+        assert tvs.shape[0] == want, (tvs.shape, want)
+        self.fine.test_vectors = tvs.reshape(want, *self.fine.stencil.field_shape)
+        self.re_setup(self.fine)
+
+    def get_test_vectors(self) -> np.ndarray:
+        """Depth-0 test vectors as numpy (for checkpointing)."""
+        from ..utils import device_get_complex
+        return device_get_complex(self.fine.test_vectors)
+
     def re_setup(self, level: MGLevel):
         """Rebuild P and the Galerkin operator from `level` downward
         (re_setup_PRECISION)."""
