@@ -196,9 +196,31 @@ class Solver:
             self.mg.stats["coarse_iterations"] = 0
             self.mg.stats["coarse_solves"] = 0
 
+        # profiling hooks (reference PROF_PRECISION_START/STOP around the
+        # fine operator and the preconditioner)
+        from .profiling import FLOPS_FINE_FULL, PROF
+        vol = int(np.prod(self.lattice))
+
+        def prof_op(fn, name, flops):
+            def wrapped(v):
+                t0 = time.perf_counter()
+                out = fn(v)
+                if PROF.sync:
+                    import jax
+                    jax.block_until_ready(out.re if hasattr(out, "re") else out)
+                PROF.add(name, 0, time.perf_counter() - t0, flops)
+                return out
+            return wrapped if PROF.enabled else fn
+
+        apply_fine = prof_op(lambda v: d_plus_clover(self.op, v),
+                             "fine_op (d_plus_clover)", FLOPS_FINE_FULL * vol)
+        prec = self.preconditioner
+        if prec is not None:
+            prec = prof_op(prec, "preconditioner (v-cycle)", 0.0)
+
         t0 = time.time()
         if p.method == -1:
-            res = cgn(lambda v: d_plus_clover(self.op, v),
+            res = cgn(apply_fine,
                       lambda v: d_dagger(self.op, v), b, x0=x0, tol=tol,
                       max_iter=p.restart_length * p.max_restarts)
         elif p.mixed_precision == 2:
@@ -214,13 +236,14 @@ class Solver:
                     ops[rd] = self.op.astype(cd)
                 return d_plus_clover(ops[rd], v)
 
-            res = fgmres_mp(apply_mp, b, x0=x0,
-                            preconditioner=self.preconditioner, tol=tol,
+            res = fgmres_mp(prof_op(apply_mp, "fine_op (d_plus_clover)",
+                                    FLOPS_FINE_FULL * vol), b, x0=x0,
+                            preconditioner=prec, tol=tol,
                             restart_length=p.restart_length,
                             max_restarts=p.max_restarts)
         else:
-            res = fgmres(lambda v: d_plus_clover(self.op, v), b, x0=x0,
-                         preconditioner=self.preconditioner, tol=tol,
+            res = fgmres(apply_fine, b, x0=x0,
+                         preconditioner=prec, tol=tol,
                          restart_length=p.restart_length,
                          max_restarts=p.max_restarts)
         dt = time.time() - t0

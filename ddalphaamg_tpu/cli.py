@@ -20,7 +20,16 @@ def main(argv=None):
     ap.add_argument("ini", help="input parameter file (reference format)")
     ap.add_argument("--platform", default=None, help="force a JAX platform (cpu/tpu)")
     ap.add_argument("--tol", type=float, default=None)
+    ap.add_argument("--benchmark", type=int, default=0, metavar="N",
+                    help="repeat the solve N times, report avg/min "
+                         "(reference WILSON_BENCHMARK, src/top_level.c:71)")
+    ap.add_argument("--profile", action="store_true",
+                    help="print the per-kernel profiling table")
     args = ap.parse_args(argv)
+
+    if args.profile:
+        from .profiling import PROF
+        PROF.enabled = True
 
     if args.platform:
         import jax
@@ -60,6 +69,17 @@ def main(argv=None):
     rhs = config.make_rhs(params.right_hand_side, solver.lattice, seed=params.seed)
     x, info = solver.solve(rhs, tol=args.tol)
 
+    if args.benchmark > 0:
+        # WILSON_BENCHMARK: repeat the solve, report avg/min
+        times = [info.solve_time]
+        for _ in range(args.benchmark - 1):
+            _, inf2 = solver.solve(rhs, tol=args.tol)
+            times.append(inf2.solve_time)
+        print(f"+- benchmarking: {len(times)} solves "
+              f"-------------------------------------+")
+        print(f"|      avg solve time: {np.mean(times):9.4f} seconds        |")
+        print(f"|      min solve time: {np.min(times):9.4f} seconds        |")
+
     r = np.asarray(rhs) - device_get_complex(
         d_plus_clover(solver.op, device_put_complex(x)))
     exact = np.linalg.norm(r) / np.linalg.norm(np.asarray(rhs))
@@ -68,6 +88,9 @@ def main(argv=None):
     print(f"| exact relative residual: ||r||/||b|| = {exact:e}      |")
     print(f"| elapsed wall clock time: {info.solve_time:<8.4f} seconds                |")
     print("+----------------------------------------------------------+")
+    if args.profile:
+        from .profiling import PROF
+        print(PROF.table())
     return 0 if info.converged else 1
 
 

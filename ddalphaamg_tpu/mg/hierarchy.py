@@ -180,6 +180,10 @@ class Multigrid:
     def _coarsest_solve(self, level: MGLevel, b, tol=None, collect=None):
         """Odd-even Schur GMRES on the coarsest level
         (coarse_solve_odd_even_PRECISION)."""
+        import time as _time
+
+        from ..profiling import PROF
+        _t0 = _time.perf_counter()
         cfg = self.cfg
         s = level.stencil
         tol = tol if tol is not None else cfg.coarse_tol
@@ -203,6 +207,8 @@ class Multigrid:
             x = res.x
         self.stats["coarse_iterations"] += res.iterations
         self.stats["coarse_solves"] += 1
+        PROF.add("coarsest_solve (OE-GMRES)", level.depth,
+                 _time.perf_counter() - _t0)
         if collect is not None:
             collect[level.depth] = x
         return x
@@ -234,7 +240,12 @@ class Multigrid:
                     collect[nxt.depth] = x_c
             corr = interpolate(level.agg, level.P, x_c, level.dof_shape)
             x = corr if x is None else x + corr
+            import time as _time
+
+            from ..profiling import PROF
+            _t0 = _time.perf_counter()
             x = level.smoother.smooth(eta, x, cycles=level.cfg.post_smooth_iter)
+            PROF.add("smoother (SAP)", level.depth, _time.perf_counter() - _t0)
         return x
 
     def __call__(self, eta):
