@@ -230,7 +230,7 @@ class Solver:
 
             def apply_mp(v):
                 rd = v.rdtype if cplx.is_split(v) else \
-                    jnp.zeros((), v.dtype).real.dtype
+                    np.zeros((), np.dtype(v.dtype)).real.dtype
                 if rd not in ops:
                     cd = jnp.complex128 if rd == jnp.float64 else jnp.complex64
                     ops[rd] = self.op.astype(cd)

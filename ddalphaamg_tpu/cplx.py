@@ -102,7 +102,7 @@ class CArray(NamedTuple):
 
     def astype(self, dtype):
         """Accepts complex or real dtypes; parts get the real counterpart."""
-        rdtype = jnp.zeros((), dtype).real.dtype
+        rdtype = np.zeros((), np.dtype(dtype)).real.dtype
         return CArray(self.re.astype(rdtype), self.im.astype(rdtype))
 
     # --- arithmetic ---

@@ -151,7 +151,7 @@ def random_gauge(lattice, key=None, seed: int = 0, dtype=jnp.complex128) -> jnp.
         key = jax.random.PRNGKey(seed)
     ka, kb = jax.random.split(key)
     shape = (4, *lattice, 3, 3)
-    rdtype = jnp.zeros((), dtype).real.dtype  # stay in the target precision
+    rdtype = np.zeros((), np.dtype(dtype)).real.dtype  # stay in the target precision
     z = jax.lax.complex(jax.random.normal(ka, shape, dtype=rdtype),
                         jax.random.normal(kb, shape, dtype=rdtype)).astype(dtype)
     q, r = jnp.linalg.qr(z)

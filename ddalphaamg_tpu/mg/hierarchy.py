@@ -33,7 +33,7 @@ import numpy as np
 from .. import cplx
 from ..geometry import Geometry
 from ..operators.coarse import CoarseOperator, coarse_hop
-from ..operators.stencil import CoarseStencil, WilsonStencil
+from ..operators.stencil import CoarseStencil, WilsonStencil, WilsonStencilSoA
 from ..operators.wilson import WilsonOperator
 from ..smoothers.sap import SchwarzPreconditioner
 from ..solvers import fgmres
@@ -71,6 +71,15 @@ class MGConfig:
     dtype: object = jnp.complex64
     split: bool = False         # split-complex representation (TPU path)
     seed: int = 42
+    # depth-0 field layout: "logical" [T,Z,Y,X,4,3], "soa" [4,3,T,Z,M]
+    # (the TPU fast path + Pallas Dslash), or "auto" (soa iff split)
+    fine_layout: str = "auto"
+
+    @property
+    def use_soa(self):
+        if self.fine_layout == "auto":
+            return self.split
+        return self.fine_layout == "soa"
 
     @property
     def num_levels(self):
@@ -82,12 +91,13 @@ class MGLevel:
     depth: int
     geom: Geometry
     cfg: LevelConfig
-    stencil: object                      # WilsonStencil | CoarseStencil
+    stencil: object                      # WilsonStencil(SoA) | CoarseStencil
     smoother: Optional[SchwarzPreconditioner] = None
     agg: Optional[Aggregation] = None    # to next level
     P: Optional[jnp.ndarray] = None
-    test_vectors: Optional[jnp.ndarray] = None  # [N, *field]
+    test_vectors: Optional[jnp.ndarray] = None  # [N, *field] (stencil layout)
     next: Optional["MGLevel"] = None
+    galerkin_op: Optional[object] = None  # depth-0 logical-layout operator
 
     @property
     def is_coarsest(self):
@@ -95,9 +105,20 @@ class MGLevel:
 
     @property
     def dof_shape(self):
+        """dof shape of the LOGICAL layout at this level."""
+        if isinstance(self.stencil, (WilsonStencil, WilsonStencilSoA)):
+            return (4, 3)
         return self.stencil.field_shape[4:]
 
+    def tvs_logical(self):
+        """Test vectors in logical layout (for P / checkpoint IO)."""
+        s = self.stencil
+        n = self.test_vectors.shape[0]
+        return cplx.stack([s.to_logical(self.test_vectors[i]) for i in range(n)])
+
     def operator_for_galerkin(self):
+        if self.galerkin_op is not None:
+            return self.galerkin_op
         if isinstance(self.stencil, WilsonStencil):
             return WilsonOperator(self.stencil.links, self.stencil.clover)
         return self.stencil.cop
@@ -109,7 +130,10 @@ class Multigrid:
     def __init__(self, op: WilsonOperator, mg_cfg: MGConfig):
         self.cfg = mg_cfg
         self.stats = {"coarse_iterations": 0, "coarse_solves": 0}
-        if mg_cfg.split and not cplx.is_split(op.links):
+        # the SoA fast path always runs split-complex internally; the
+        # representation is converted at the preconditioner boundary
+        self._split = mg_cfg.split or mg_cfg.use_soa
+        if self._split and not cplx.is_split(op.links):
             op = op.split()
         self.fine = self._build(op)
 
@@ -123,8 +147,13 @@ class Multigrid:
         levels: list[MGLevel] = []
         for d, lc in enumerate(cfg.levels):
             geom = Geometry(lattice=tuple(lc.lattice), block=tuple(lc.block))
+            galerkin_op = None
             if d == 0:
-                stencil = WilsonStencil.build(op, geom, dtype=cfg.dtype)
+                if cfg.use_soa:
+                    stencil = WilsonStencilSoA.build(op, geom, dtype=cfg.dtype)
+                    galerkin_op = op.astype(cfg.dtype)
+                else:
+                    stencil = WilsonStencil.build(op, geom, dtype=cfg.dtype)
             else:
                 prev = levels[-1]
                 agg = Aggregation(
@@ -137,10 +166,11 @@ class Multigrid:
                 prev.agg = agg
                 key, sub = jax.random.split(key)
                 prev.test_vectors = self._initial_test_vectors(levels[-1], sub)
-                prev.P = build_interpolation(agg, prev.test_vectors)
+                prev.P = build_interpolation(agg, prev.tvs_logical())
                 cop = build_coarse_operator(prev.operator_for_galerkin(), agg, prev.P)
                 stencil = CoarseStencil.build(cop, geom)
-            level = MGLevel(depth=d, geom=geom, cfg=lc, stencil=stencil)
+            level = MGLevel(depth=d, geom=geom, cfg=lc, stencil=stencil,
+                            galerkin_op=galerkin_op)
             if d < cfg.num_levels - 1:
                 # reference: block odd-even solver at depth 0 only
                 level.smoother = SchwarzPreconditioner(
@@ -155,18 +185,23 @@ class Multigrid:
         """Random vectors progressively smoothed with 1, 2, 3 SAP cycles
         (reference interpolation_PRECISION_define, src/setup_generic.c:215-246)."""
         n = level.cfg.num_test_vectors
-        shape = (n, *level.stencil.field_shape)
+        # draw in the LOGICAL shape so the random stream is identical across
+        # fine-level layouts (SoA vs logical give bit-identical hierarchies)
+        if isinstance(level.stencil, WilsonStencilSoA):
+            shape = (n, *level.geom.lattice, 4, 3)
+        else:
+            shape = (n, *level.stencil.field_shape)
         ka, kb = jax.random.split(key)
-        rdtype = jnp.zeros((), self.cfg.dtype).real.dtype
+        rdtype = np.zeros((), np.dtype(self.cfg.dtype)).real.dtype
         re = jax.random.normal(ka, shape, dtype=rdtype)
         im = jax.random.normal(kb, shape, dtype=rdtype)
-        if self.cfg.split:
+        if self._split:
             tv = cplx.CArray(re, im)
         else:
             tv = jax.lax.complex(re, im).astype(self.cfg.dtype)
         out = []
         for i in range(n):
-            v = tv[i]
+            v = level.stencil.from_logical(tv[i])
             for ncy in (1, 2, 3):
                 v = level.smoother(v, cycles=ncy)
             v = v * (1.0 / jnp.sqrt(cplx.norm2(v)))
@@ -219,7 +254,9 @@ class Multigrid:
         nxt = level.next
         for i in range(level.cfg.n_cy):
             r = eta if x is None else eta - level.stencil.full_op(x)
-            b_c = restrict(level.agg, level.P, r)
+            # layout boundary: SoA fine fields -> logical for P^H
+            # (reference trans_back analog)
+            b_c = restrict(level.agg, level.P, level.stencil.to_logical(r))
             if nxt.is_coarsest:
                 x_c = self._coarsest_solve(nxt, b_c, collect=collect)
             elif cfg.kcycle:
@@ -238,7 +275,8 @@ class Multigrid:
                 x_c = self.vcycle(nxt, b_c, kcycle_tol=kcycle_tol, collect=collect)
                 if collect is not None:
                     collect[nxt.depth] = x_c
-            corr = interpolate(level.agg, level.P, x_c, level.dof_shape)
+            corr = level.stencil.from_logical(
+                interpolate(level.agg, level.P, x_c, level.dof_shape))
             x = corr if x is None else x + corr
             import time as _time
 
@@ -249,8 +287,21 @@ class Multigrid:
         return x
 
     def __call__(self, eta):
-        """Depth-0 preconditioner application M(eta)."""
-        return self.vcycle(self.fine, eta.astype(self.cfg.dtype))
+        """Depth-0 preconditioner application M(eta).
+
+        eta arrives in the outer solver's logical layout/precision; the
+        conversion to the fine stencil's layout + cfg.dtype here and back at
+        exit is the reference's trans_float/trans_back_float boundary
+        (src/schwarz_generic.c:1807-1846, preconditioner.c:25-69)."""
+        s = self.fine.stencil
+        split_in = cplx.is_split(eta)
+        if self._split and not split_in:
+            eta = cplx.as_carray(eta)
+        out = s.to_logical(self.vcycle(
+            self.fine, s.from_logical(eta).astype(self.cfg.dtype)))
+        if not split_in and cplx.is_split(out):
+            out = jax.lax.complex(out.re, out.im)
+        return out
 
     # ------------------------------------------------------------------
     # adaptive (bootstrap) setup
@@ -306,23 +357,27 @@ class Multigrid:
         src/setup_generic.c:131-162, interpolation: 4)."""
         from ..utils import device_put_complex
         tvs = device_put_complex(np.asarray(tvs), dtype=self.cfg.dtype,
-                                 split=self.cfg.split)
+                                 split=self._split)
         want = self.fine.cfg.num_test_vectors
         assert tvs.shape[0] == want, (tvs.shape, want)
-        self.fine.test_vectors = tvs.reshape(want, *self.fine.stencil.field_shape)
+        lat = self.fine.geom.lattice
+        s = self.fine.stencil
+        tvs = tvs.reshape(want, *lat, 4, 3)  # logical layout from file
+        self.fine.test_vectors = cplx.stack(
+            [s.from_logical(tvs[i]) for i in range(want)])
         self.re_setup(self.fine)
 
     def get_test_vectors(self) -> np.ndarray:
-        """Depth-0 test vectors as numpy (for checkpointing)."""
+        """Depth-0 test vectors as numpy in logical layout (checkpointing)."""
         from ..utils import device_get_complex
-        return device_get_complex(self.fine.test_vectors)
+        return device_get_complex(self.fine.tvs_logical())
 
     def re_setup(self, level: MGLevel):
         """Rebuild P and the Galerkin operator from `level` downward
         (re_setup_PRECISION)."""
         lvl = level
         while lvl is not None and not lvl.is_coarsest:
-            lvl.P = build_interpolation(lvl.agg, lvl.test_vectors)
+            lvl.P = build_interpolation(lvl.agg, lvl.tvs_logical())
             cop = build_coarse_operator(lvl.operator_for_galerkin(), lvl.agg, lvl.P)
             nxt = lvl.next
             nxt.stencil = CoarseStencil.build(cop, nxt.geom)

@@ -42,7 +42,7 @@ class CoarseOperator(NamedTuple):
 
     def astype(self, dtype):
         if cplx.is_split(self.A):
-            rdtype = jnp.zeros((), dtype).real.dtype
+            rdtype = np.zeros((), np.dtype(dtype)).real.dtype
             return CoarseOperator(self.A.astype_real(rdtype),
                                   self.Df.astype_real(rdtype),
                                   self.Db.astype_real(rdtype))

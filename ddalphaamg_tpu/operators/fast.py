@@ -79,14 +79,17 @@ def clover_to_soa(clov):
 # ---------------------------------------------------------------------------
 
 def _xmask(lattice, which: str, rdtype):
-    """[M] mask over the fused (y, x) axis: 1.0 where x == X-1 / x == 0."""
+    """[M] mask over the fused (y, x) axis: 1.0 where x == X-1 / x == 0.
+
+    Kept as NUMPY so closures built inside a jit trace don't capture traced
+    constants (each trace lifts the numpy array as its own constant)."""
     y, x = lattice[2], lattice[3]
-    m = np.zeros((y, x), dtype=np.float64)
+    m = np.zeros((y, x), dtype=np.dtype(rdtype))
     if which == "last":
         m[:, x - 1] = 1.0
     else:
         m[:, 0] = 1.0
-    return jnp.asarray(m.reshape(y * x), dtype=rdtype)
+    return m.reshape(y * x)
 
 
 def make_rollers(lattice, rdtype=jnp.float32):
@@ -109,11 +112,11 @@ def make_rollers(lattice, rdtype=jnp.float32):
         if shift == -1:  # fetch a[x+1]
             main = _r(a, -1, -1)
             wrap = _r(a, xn - 1, -1)
-            return main + mask_last * (wrap - main)
+            return main + (wrap - main) * mask_last
         if shift == 1:   # fetch a[x-1]
             main = _r(a, 1, -1)
             wrap = _r(a, -(xn - 1), -1)
-            return main + mask_first * (wrap - main)
+            return main + (wrap - main) * mask_first
         raise ValueError(shift)
 
     return roll
@@ -224,3 +227,18 @@ def dslash_hopping_soa(links, phi, roll, basis_name=None, dirs=(T, Z, Y, X)):
 def d_plus_clover_soa(links, clov, phi, roll, basis_name=None):
     return clover_apply_soa(clov, phi) + dslash_hopping_soa(
         links, phi, roll, basis_name)
+
+
+def gamma5_soa(phi):
+    """gamma5 in SoA layout: negate spin rows 0,1 (axis 0)."""
+    return cplx.concatenate([-phi[0:2], phi[2:4]], axis=0)
+
+
+def lattice_mask_to_soa(mask: np.ndarray, rdtype=jnp.float32) -> jnp.ndarray:
+    """[T,Z,Y,X] site mask -> [T,Z,M] (broadcasts against SoA fields from
+    the trailing axes)."""
+    t, z, y, x = mask.shape
+    return jnp.asarray(np.asarray(mask, dtype=np.float64).reshape(t, z, y * x),
+                       dtype=rdtype)
+
+

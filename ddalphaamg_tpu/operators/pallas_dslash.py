@@ -113,6 +113,7 @@ def _dslash_kernel(lattice, basis_name,
                    ut_re, ut_im, utm_re, utm_im,
                    uzyx_re, uzyx_im,
                    cdiag, coff_re, coff_im,
+                   mask_last_ref, mask_first_ref,
                    out_re, out_im):
     basis = get_basis(basis_name) if basis_name else get_basis()
     co, val = basis.co, basis.val
@@ -123,30 +124,41 @@ def _dslash_kernel(lattice, basis_name,
     pm = [[(pm_re[s, a, 0], pm_im[s, a, 0]) for a in range(3)] for s in range(4)]
     pp = [[(pp_re[s, a, 0], pp_im[s, a, 0]) for a in range(3)] for s in range(4)]
 
-    zdim, mdim = p0_re.shape[-2:]
-    col = jax.lax.broadcasted_iota(jnp.int32, (zdim, mdim), 1) % xn
-    mask_last = (col == xn - 1)
-    mask_first = (col == 0)
+    # x-boundary masks come in as f32 inputs: in-kernel iota + dtype
+    # promotion trips a tracing bug under x64, and constant inputs are
+    # fetched once by the pipeline anyway
+    mask_last = mask_last_ref[...]
+    mask_first = mask_first_ref[...]
+
+    def _roll2(a, shift, axis):
+        """Circular shift via the native Mosaic roll (jnp.roll's index math
+        generates 64-bit ops under x64 that Mosaic cannot legalize).
+        pltpu.roll requires a nonnegative shift."""
+        ndim = a.ndim
+        ax = axis % ndim
+        n = a.shape[ax]
+        # shift must be i32: a python int becomes an i64 constant under x64,
+        # which tpu.dynamic_rotate rejects
+        return pltpu.roll(a, jnp.int32(shift % n), ax)
 
     def roll_zyx(x, shift, mu):
         """Periodic neighbor fetch within the (Z, M) slice."""
         xr, xi = x
         if mu == Z:
-            return (jnp.roll(xr, shift, axis=-2), jnp.roll(xi, shift, axis=-2))
+            return (_roll2(xr, shift, -2), _roll2(xi, shift, -2))
         if mu == Y:
-            return (jnp.roll(xr, shift * xn, axis=-1),
-                    jnp.roll(xi, shift * xn, axis=-1))
+            return (_roll2(xr, shift * xn, -1), _roll2(xi, shift * xn, -1))
         # X: blend a unit lane-roll with the wrap-around roll
         if shift == -1:   # fetch a[x+1]
             mask = mask_last
-            main = (jnp.roll(xr, -1, -1), jnp.roll(xi, -1, -1))
-            wrap = (jnp.roll(xr, xn - 1, -1), jnp.roll(xi, xn - 1, -1))
+            main = (_roll2(xr, -1, -1), _roll2(xi, -1, -1))
+            wrap = (_roll2(xr, xn - 1, -1), _roll2(xi, xn - 1, -1))
         else:             # fetch a[x-1]
             mask = mask_first
-            main = (jnp.roll(xr, 1, -1), jnp.roll(xi, 1, -1))
-            wrap = (jnp.roll(xr, -(xn - 1), -1), jnp.roll(xi, -(xn - 1), -1))
-        return (jnp.where(mask, wrap[0], main[0]),
-                jnp.where(mask, wrap[1], main[1]))
+            main = (_roll2(xr, 1, -1), _roll2(xi, 1, -1))
+            wrap = (_roll2(xr, -(xn - 1), -1), _roll2(xi, -(xn - 1), -1))
+        return (main[0] + (wrap[0] - main[0]) * mask,
+                main[1] + (wrap[1] - main[1]) * mask)
 
     # ---- clover: eta = C phi, packed Hermitian blocks ----
     eta = [[None] * 3 for _ in range(4)]
@@ -245,24 +257,60 @@ def build_dslash(lattice, basis_name=None, interpret=False):
     nt, nz = lattice[0], lattice[1]
     m = lattice[2] * lattice[3]
 
+    # All index-map return values must be i32: python-int literals become
+    # i64 constants under x64, which Mosaic cannot legalize.
+    _i0 = partial(jnp.asarray, dtype=jnp.int32)
+
+    def _tmod(t, off):
+        """(t + off) mod nt via lax.rem on int32 (jnp's % promotion machinery
+        breaks inside index-map tracing under x64)."""
+        i = jax.lax.convert_element_type(t, jnp.int32)
+        return jax.lax.rem(i + jnp.int32(off + nt), jnp.int32(nt))
+
+    def _ti32(t):
+        return jax.lax.convert_element_type(t, jnp.int32)
+
     def sb(off):
-        return pl.BlockSpec((4, 3, 1, nz, m),
-                            partial(lambda t, o: (0, 0, (t + o) % nt, 0, 0), o=off),
-                            memory_space=pltpu.VMEM)
+        return pl.BlockSpec(
+            (4, 3, 1, nz, m),
+            partial(lambda t, o: (_i0(0), _i0(0), _tmod(t, o), _i0(0), _i0(0)),
+                    o=off),
+            memory_space=pltpu.VMEM)
 
     def lb(off):
-        return pl.BlockSpec((3, 3, 1, nz, m),
-                            partial(lambda t, o: (0, 0, (t + o) % nt, 0, 0), o=off),
-                            memory_space=pltpu.VMEM)
+        return pl.BlockSpec(
+            (3, 3, 1, nz, m),
+            partial(lambda t, o: (_i0(0), _i0(0), _tmod(t, o), _i0(0), _i0(0)),
+                    o=off),
+            memory_space=pltpu.VMEM)
 
-    lzyx = pl.BlockSpec((3, 3, 3, 1, nz, m),
-                        lambda t: (0, 0, 0, t, 0, 0), memory_space=pltpu.VMEM)
-    cdiag_blk = pl.BlockSpec((2, 6, 1, nz, m),
-                             lambda t: (0, 0, t, 0, 0), memory_space=pltpu.VMEM)
-    coff_blk = pl.BlockSpec((2, 15, 1, nz, m),
-                            lambda t: (0, 0, t, 0, 0), memory_space=pltpu.VMEM)
-    out_blk = pl.BlockSpec((4, 3, 1, nz, m),
-                           lambda t: (0, 0, t, 0, 0), memory_space=pltpu.VMEM)
+    lzyx = pl.BlockSpec(
+        (3, 3, 3, 1, nz, m),
+        lambda t: (_i0(0), _i0(0), _i0(0), _ti32(t), _i0(0), _i0(0)),
+        memory_space=pltpu.VMEM)
+    cdiag_blk = pl.BlockSpec(
+        (2, 6, 1, nz, m),
+        lambda t: (_i0(0), _i0(0), _ti32(t), _i0(0), _i0(0)),
+        memory_space=pltpu.VMEM)
+    coff_blk = pl.BlockSpec(
+        (2, 15, 1, nz, m),
+        lambda t: (_i0(0), _i0(0), _ti32(t), _i0(0), _i0(0)),
+        memory_space=pltpu.VMEM)
+    mask_blk = pl.BlockSpec((nz, m), lambda t: (_i0(0), _i0(0)),
+                            memory_space=pltpu.VMEM)
+    out_blk = pl.BlockSpec(
+        (4, 3, 1, nz, m),
+        lambda t: (_i0(0), _i0(0), _ti32(t), _i0(0), _i0(0)),
+        memory_space=pltpu.VMEM)
+
+    # masks stay NUMPY: build_dslash may run inside a jit trace (lru-cached),
+    # and numpy operands are lifted as per-trace constants safely
+    xn = lattice[3]
+    col = np.arange(m, dtype=np.int64) % xn
+    mask_last_arr = np.ascontiguousarray(
+        np.broadcast_to((col == xn - 1).astype(np.float32), (nz, m)))
+    mask_first_arr = np.ascontiguousarray(
+        np.broadcast_to((col == 0).astype(np.float32), (nz, m)))
 
     kernel = partial(_dslash_kernel, tuple(lattice), basis_name)
     flops_site = 1920  # reference model, src/init_generic.c:58-60
@@ -274,7 +322,8 @@ def build_dslash(lattice, basis_name=None, interpret=False):
         grid=(nt,),
         in_specs=[sb(-1), sb(-1), sb(0), sb(0), sb(1), sb(1),
                   lb(0), lb(0), lb(-1), lb(-1),
-                  lzyx, lzyx, cdiag_blk, coff_blk, coff_blk],
+                  lzyx, lzyx, cdiag_blk, coff_blk, coff_blk,
+                  mask_blk, mask_blk],
         out_specs=(out_blk, out_blk),
         out_shape=(jax.ShapeDtypeStruct((4, 3, nt, nz, m), jnp.float32),
                    jax.ShapeDtypeStruct((4, 3, nt, nz, m), jnp.float32)),
@@ -291,7 +340,8 @@ def build_dslash(lattice, basis_name=None, interpret=False):
         out_re, out_im = call(phi.re, phi.im, phi.re, phi.im, phi.re, phi.im,
                               ut.re, ut.im, ut.re, ut.im,
                               uzyx.re, uzyx.im,
-                              cdiag, coff.re, coff.im)
+                              cdiag, coff.re, coff.im,
+                              mask_last_arr, mask_first_arr)
         return cplx.CArray(out_re, out_im)
 
     return apply_fn

@@ -33,6 +33,47 @@ from .oddeven import parity_masks
 from .wilson import WilsonOperator, clover_apply, dslash_hopping
 
 
+class _LogicalLayout:
+    """Layout hooks shared by stencils whose fields are [T,Z,Y,X, dof...].
+    The SAP smoother goes through these instead of hard-coding axis order,
+    so SoA stencils can override them (reference analog: the Schwarz layout
+    translation trans_PRECISION, src/schwarz_generic.c:1807)."""
+
+    def to_logical(self, v):
+        return v
+
+    def from_logical(self, v):
+        return v
+
+    def lattice_mask(self, mask_np):
+        """[T,Z,Y,X] numpy mask -> field-broadcastable jnp array."""
+        rdtype = np.zeros((), np.dtype(self.dtype)).real.dtype
+        extra = (1,) * (len(self.field_shape) - 4)
+        return jnp.asarray(np.asarray(mask_np).reshape(mask_np.shape + extra),
+                           dtype=rdtype)
+
+    def dof_sum(self, a):
+        """Sum |field|-like quantities over dof axes -> lattice-shaped."""
+        return cplx.sum_dof(a, tuple(range(4, a.ndim)))
+
+    def block_sum(self, a, geom: Geometry):
+        gt, gz, gy, gx = geom.block_grid
+        bt, bz, by, bx = geom.block
+        if cplx.is_split(a):
+            return cplx.CArray(self.block_sum(a.re, geom),
+                               self.block_sum(a.im, geom))
+        return a.reshape(gt, bt, gz, bz, gy, by, gx, bx).sum(axis=(1, 3, 5, 7))
+
+    def block_expand(self, a, geom: Geometry):
+        """Block-grid values -> field-broadcastable per-site values."""
+        if cplx.is_split(a):
+            return cplx.CArray(self.block_expand(a.re, geom),
+                               self.block_expand(a.im, geom))
+        for mu in range(4):
+            a = jnp.repeat(a, geom.block[mu], axis=mu)
+        return a.reshape(a.shape + (1,) * (len(self.field_shape) - 4))
+
+
 def _link_intra_mask(geom: Geometry) -> np.ndarray:
     """[4,T,Z,Y,X,1,1]: 0 where U_mu(x) crosses a Schwarz block boundary."""
     masks = []
@@ -49,7 +90,7 @@ def _link_intra_mask(geom: Geometry) -> np.ndarray:
          data_fields=["links", "clover", "links_intra", "clover_inv", "even", "odd"],
          meta_fields=["geom"])
 @dataclasses.dataclass(frozen=True)
-class WilsonStencil:
+class WilsonStencil(_LogicalLayout):
     """Fine-grid Wilson-clover stencil (half-spinor kernels)."""
 
     links: object
@@ -102,7 +143,7 @@ class WilsonStencil:
          data_fields=["A", "Df", "Db", "Df_intra", "Db_intra", "A_inv", "even", "odd"],
          meta_fields=["geom"])
 @dataclasses.dataclass(frozen=True)
-class CoarseStencil:
+class CoarseStencil(_LogicalLayout):
     """Coarse-grid dense block stencil."""
 
     A: object
@@ -155,3 +196,151 @@ class CoarseStencil:
 
     def hop_intra(self, v):
         return coarse_hop(self.Df_intra, self.Db_intra, v)
+
+
+# ---------------------------------------------------------------------------
+# TPU fast-path fine stencil: split-complex SoA layout + Pallas Dslash
+# ---------------------------------------------------------------------------
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _cached_pallas_dslash(lattice, basis_name, interpret):
+    from .pallas_dslash import build_dslash
+    return build_dslash(lattice, basis_name=basis_name, interpret=interpret)
+
+
+@functools.lru_cache(maxsize=None)
+def _cached_rollers(lattice, rdtype_name):
+    from . import fast
+    return fast.make_rollers(lattice, rdtype=jnp.dtype(rdtype_name))
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["links", "links_intra", "clover", "clover_inv",
+                      "cdiag", "coff", "even", "odd"],
+         meta_fields=["geom", "use_pallas"])
+@dataclasses.dataclass(frozen=True)
+class WilsonStencilSoA:
+    """Fine-grid Wilson-clover stencil in the TPU-native SoA layout
+    [dof..., T, Z, M=Y*X] (operators/fast.py), with the fused Pallas kernel
+    (operators/pallas_dslash.py) as full_op on TPU.
+
+    This is the production depth-0 compute path; the layout conversion at
+    the multigrid boundary (to_logical/from_logical) is the analog of the
+    reference's lexicographic<->Schwarz-layout translation
+    (trans_PRECISION/trans_back_PRECISION, src/schwarz_generic.c:1807-1846).
+    """
+
+    links: object           # CArray [4,3,3,T,Z,M]
+    links_intra: object
+    clover: object          # CArray [2,6,6,T,Z,M]
+    clover_inv: object
+    cdiag: jnp.ndarray      # packed Hermitian clover (Pallas operands)
+    coff: object
+    even: jnp.ndarray       # [T,Z,M]
+    odd: jnp.ndarray
+    geom: Geometry
+    use_pallas: bool
+
+    @classmethod
+    def build(cls, op: WilsonOperator, geom: Geometry, dtype=None,
+              use_pallas=None) -> "WilsonStencilSoA":
+        from . import fast, pallas_dslash
+        if dtype is not None:
+            op = op.astype(dtype)
+        if not cplx.is_split(op.links):
+            op = op.split()
+        rdtype = op.links.re.dtype
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        intra = op.links * jnp.asarray(_link_intra_mask(geom), dtype=rdtype)
+        links = fast.links_to_soa(op.links)
+        clover = fast.clover_to_soa(op.clover)
+        cdiag, coff = pallas_dslash.pack_clover(clover)
+        par = (np.indices(geom.lattice).sum(axis=0) % 2 == 0).astype(np.float64)
+        return cls(
+            links=links,
+            links_intra=fast.links_to_soa(intra),
+            clover=clover,
+            clover_inv=fast.clover_to_soa(cplx.inv(op.clover)),
+            cdiag=cdiag, coff=coff,
+            even=fast.lattice_mask_to_soa(par, rdtype),
+            odd=fast.lattice_mask_to_soa(1.0 - par, rdtype),
+            geom=geom, use_pallas=bool(use_pallas))
+
+    # --- operator interface ---
+
+    @property
+    def dtype(self):
+        return self.links.dtype
+
+    @property
+    def field_shape(self):
+        t, z, y, x = self.geom.lattice
+        return (4, 3, t, z, y * x)
+
+    def _roll(self):
+        return _cached_rollers(self.geom.lattice, str(self.links.re.dtype))
+
+    def full_op(self, v):
+        from . import fast
+        if self.use_pallas:
+            fn = _cached_pallas_dslash(self.geom.lattice, None, False)
+            return fn(self.links, self.cdiag, self.coff, v)
+        return fast.d_plus_clover_soa(self.links, self.clover, v, self._roll())
+
+    def block_op(self, v):
+        from . import fast
+        return (fast.clover_apply_soa(self.clover, v)
+                + fast.dslash_hopping_soa(self.links_intra, v, self._roll()))
+
+    def self_op(self, v):
+        from . import fast
+        return fast.clover_apply_soa(self.clover, v)
+
+    def self_inv(self, v, mask):
+        from . import fast
+        return fast.clover_apply_soa(self.clover_inv, mask * v)
+
+    def hop_intra(self, v):
+        from . import fast
+        return fast.dslash_hopping_soa(self.links_intra, v, self._roll())
+
+    # --- layout hooks (SAP smoother / MG boundary) ---
+
+    def to_logical(self, v):
+        from . import fast
+        return fast.spinor_from_soa(v, self.geom.lattice)
+
+    def from_logical(self, v):
+        from . import fast
+        return fast.spinor_to_soa(v)
+
+    def lattice_mask(self, mask_np):
+        from . import fast
+        rdtype = np.zeros((), np.dtype(self.dtype)).real.dtype
+        return fast.lattice_mask_to_soa(np.asarray(mask_np), rdtype)
+
+    def dof_sum(self, a):
+        return cplx.sum_dof(a, (0, 1))
+
+    def block_sum(self, a, geom: Geometry):
+        gt, gz, gy, gx = geom.block_grid
+        bt, bz, by, bx = geom.block
+        if cplx.is_split(a):
+            return cplx.CArray(self.block_sum(a.re, geom),
+                               self.block_sum(a.im, geom))
+        return a.reshape(gt, bt, gz, bz, gy, by, gx, bx).sum(axis=(1, 3, 5, 7))
+
+    def block_expand(self, a, geom: Geometry):
+        """[gt,gz,gy,gx] block values -> [T,Z,M] (trailing-broadcasts
+        against SoA fields)."""
+        if cplx.is_split(a):
+            return cplx.CArray(self.block_expand(a.re, geom),
+                               self.block_expand(a.im, geom))
+        for mu in range(4):
+            a = jnp.repeat(a, geom.block[mu], axis=mu)
+        t, z, y, x = self.geom.lattice
+        return a.reshape(t, z, y * x)

@@ -62,7 +62,7 @@ class WilsonOperator(NamedTuple):
 
     def astype(self, dtype) -> "WilsonOperator":
         if cplx.is_split(self.links):
-            rdtype = jnp.zeros((), dtype).real.dtype
+            rdtype = np.zeros((), np.dtype(dtype)).real.dtype
             return WilsonOperator(self.links.astype_real(rdtype),
                                   self.clover.astype_real(rdtype))
         return WilsonOperator(self.links.astype(dtype), self.clover.astype(dtype))

@@ -63,37 +63,14 @@ def color_masks(geom: Geometry, scheme: str = "red_black") -> list[np.ndarray]:
     return masks
 
 
-def _bcast(mask: jnp.ndarray, field) -> jnp.ndarray:
-    return mask.reshape(mask.shape + (1,) * (field.ndim - 4))
-
-
-def _block_sum(a, geom: Geometry):
-    gt, gz, gy, gx = geom.block_grid
-    bt, bz, by, bx = geom.block
-    if cplx.is_split(a):
-        return cplx.CArray(_block_sum(a.re, geom), _block_sum(a.im, geom))
-    return a.reshape(gt, bt, gz, bz, gy, by, gx, bx).sum(axis=(1, 3, 5, 7))
-
-
-def _block_broadcast(a, geom: Geometry, field):
-    if cplx.is_split(a):
-        return cplx.CArray(_block_broadcast(a.re, geom, field),
-                           _block_broadcast(a.im, geom, field))
-    for mu in range(4):
-        a = jnp.repeat(a, geom.block[mu], axis=mu)
-    return _bcast(a, field)
-
-
-def _dof_sum(a):
-    return cplx.sum_dof(a, tuple(range(4, a.ndim)))
-
-
-def _alpha(Dr, r, geom):
-    """Per-block alpha = <Dr, r> / <Dr, Dr>, broadcast back to sites."""
-    num = _block_sum(_dof_sum(cplx.conj(Dr) * r), geom)
-    den = _block_sum(_dof_sum(cplx.abs2(Dr)), geom)
+def _alpha(s, Dr, r, geom):
+    """Per-block alpha = <Dr, r> / <Dr, Dr>, broadcast back to sites.
+    Block reductions go through the stencil's layout hooks so the same code
+    runs on logical [T,Z,Y,X,dof] and SoA [dof,T,Z,M] fields."""
+    num = s.block_sum(s.dof_sum(cplx.conj(Dr) * r), geom)
+    den = s.block_sum(s.dof_sum(cplx.abs2(Dr)), geom)
     alpha = num / jnp.where(den == 0, 1.0, den)
-    return _block_broadcast(alpha, geom, r)
+    return s.block_expand(alpha, geom)
 
 
 def _minres(s, r, block_op, block_iter: int):
@@ -101,7 +78,7 @@ def _minres(s, r, block_op, block_iter: int):
     delta = cplx.zeros_like(r)
     for _ in range(block_iter):
         Dr = block_op(r)
-        a = _alpha(Dr, r, s.geom)
+        a = _alpha(s, Dr, r, s.geom)
         delta = delta + a * r
         r = r - a * Dr
     return delta
@@ -131,7 +108,7 @@ def _sweep(s, x, r, colors, cycles: int, block_iter: int, odd_even: bool):
     ncolors = len(colors)
     for k in range(cycles):
         for i, mask in enumerate(colors):
-            masked = r if ncolors == 1 else _bcast(mask, r) * r
+            masked = r if ncolors == 1 else mask * r
             delta = _block_solve(s, masked, block_iter, odd_even)
             x = x + delta
             if k == cycles - 1 and i == ncolors - 1:
@@ -170,8 +147,8 @@ class SchwarzPreconditioner:
         self.cycles = cycles
         self.odd_even = odd_even
         self.dtype = stencil.dtype
-        rdtype = jnp.zeros((), self.dtype).real.dtype
-        self.colors = tuple(jnp.asarray(m, dtype=rdtype)
+        # masks shaped by the stencil's layout (logical or SoA)
+        self.colors = tuple(stencil.lattice_mask(m)
                             for m in color_masks(self.geom, scheme))
 
     def _cast(self, v):

@@ -64,7 +64,8 @@ def _norm2(w):
 
 
 def _norm(w) -> float:
-    return float(np.sqrt(_norm2(w)))
+    from ..utils import host_float
+    return float(np.sqrt(host_float(_norm2(w))))
 
 
 @jax.jit

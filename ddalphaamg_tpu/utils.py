@@ -60,7 +60,7 @@ def device_put_complex(x, dtype=None, split=None):
         dtype = default_complex_dtype() if np.iscomplexobj(x) else None
     if not np.iscomplexobj(x):
         return jnp.asarray(x, dtype=dtype)
-    rdtype = jnp.zeros((), dtype).real.dtype
+    rdtype = np.zeros((), np.dtype(dtype)).real.dtype
     re = jnp.asarray(np.ascontiguousarray(x.real), dtype=rdtype)
     im = jnp.asarray(np.ascontiguousarray(x.imag), dtype=rdtype)
     if split:
@@ -68,16 +68,31 @@ def device_put_complex(x, dtype=None, split=None):
     return _combine(re, im)
 
 
+def host_array(x) -> np.ndarray:
+    """Fetch a real device array to numpy; some TPU relays cannot transfer
+    f64, so fall back to an on-device f32 downcast."""
+    try:
+        return np.asarray(x)
+    except Exception:
+        return np.asarray(x.astype(jnp.float32))
+
+
+def host_float(x) -> float:
+    """Fetch a device scalar as a python float (f64-transfer-safe)."""
+    return float(host_array(x))
+
+
 def device_get_complex(x) -> np.ndarray:
     """device array -> numpy, complex-transfer-safe."""
     if isinstance(x, cplx.CArray):
-        return cplx.to_numpy(x)
+        return (host_array(x.re).astype(np.complex128)
+                + 1j * host_array(x.im))
     if isinstance(x, np.ndarray):
         return x
     if jnp.iscomplexobj(x):
         re, im = _split(x)
-        return np.asarray(re).astype(np.complex128) + 1j * np.asarray(im)
-    return np.asarray(x)
+        return host_array(re).astype(np.complex128) + 1j * host_array(im)
+    return host_array(x)
 
 
 @jax.jit

@@ -82,3 +82,39 @@ def test_two_level_split(ops):
     r = np.ones((*LAT, 4, 3)) - cplx.to_numpy(wilson.d_plus_clover(ops_, res.x))
     assert np.linalg.norm(r) / np.linalg.norm(np.ones((*LAT, 4, 3))) < 1e-9
     assert res.iterations <= 16, res.iterations
+
+
+def test_soa_fine_layout_iteration_parity(conf4):
+    """MG with the SoA fine-level layout (the TPU production path) must be
+    numerically equivalent to the logical layout: same hierarchy, same
+    iteration count, same solution."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ddalphaamg_tpu import io as dio
+    from ddalphaamg_tpu.mg.hierarchy import LevelConfig, MGConfig, Multigrid
+    from ddalphaamg_tpu.operators import wilson
+    from ddalphaamg_tpu.solvers import fgmres
+
+    U, _ = dio.read_gauge_field(conf4, anti_periodic=True)
+    op = wilson.WilsonOperator.from_gauge(U, m0=-0.5, csw=1.0)
+    b = jnp.ones((4, 4, 4, 4, 4, 3), dtype=complex)
+
+    results = {}
+    for layout in ("logical", "soa"):
+        cfg = MGConfig(levels=[
+            LevelConfig(lattice=(4, 4, 4, 4), block=(2, 2, 2, 2),
+                        post_smooth_iter=2, block_iter=4,
+                        num_test_vectors=4, setup_iter=0),
+            LevelConfig(lattice=(2, 2, 2, 2), block=(1, 1, 1, 1)),
+        ], fine_layout=layout, seed=7)
+        mg = Multigrid(op, cfg)
+        res = fgmres(lambda v: wilson.d_plus_clover(op, v), b,
+                     preconditioner=mg, tol=1e-8, restart_length=50,
+                     max_restarts=10)
+        assert res.converged
+        results[layout] = res
+
+    assert results["soa"].iterations == results["logical"].iterations
+    np.testing.assert_allclose(np.asarray(results["soa"].x),
+                               np.asarray(results["logical"].x), atol=1e-6)
