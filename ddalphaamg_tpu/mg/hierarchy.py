@@ -36,7 +36,7 @@ from ..operators.coarse import CoarseOperator, coarse_hop
 from ..operators.stencil import CoarseStencil, WilsonStencil, WilsonStencilSoA
 from ..operators.wilson import WilsonOperator
 from ..smoothers.sap import SchwarzPreconditioner
-from ..solvers import fgmres
+from ..solvers.device_gmres import device_gcr
 from .galerkin import build_coarse_operator
 from .interpolation import Aggregation, build_interpolation, interpolate, restrict
 
@@ -135,6 +135,7 @@ class Multigrid:
         self._split = mg_cfg.split or mg_cfg.use_soa
         if self._split and not cplx.is_split(op.links):
             op = op.split()
+        self._cycle_jit = None
         self.fine = self._build(op)
 
     # ------------------------------------------------------------------
@@ -209,20 +210,36 @@ class Multigrid:
         return cplx.stack(out)
 
     # ------------------------------------------------------------------
-    # cycles
+    # cycles -- ONE traced computation per preconditioner application
     # ------------------------------------------------------------------
+    # The reference runs its K-cycle / coarse GMRES loops on the host CPU
+    # where host and compute are the same device.  On TPU every host-driven
+    # iteration pays a dispatch round-trip, so the whole multilevel cycle
+    # (smoothers, K-cycles, coarsest Schur solve) is traced into a single
+    # XLA program: inner Krylov loops are device_gcr (lax.fori_loop),
+    # recursion over levels is unrolled at trace time (static depth).
 
-    def _coarsest_solve(self, level: MGLevel, b, tol=None, collect=None):
-        """Odd-even Schur GMRES on the coarsest level
-        (coarse_solve_odd_even_PRECISION)."""
-        import time as _time
+    def _levels(self) -> list:
+        out, lvl = [], self.fine
+        while lvl is not None:
+            out.append(lvl)
+            lvl = lvl.next
+        return out
 
-        from ..profiling import PROF
-        _t0 = _time.perf_counter()
+    def _level_data(self):
+        """The hierarchy's array content as a pytree (jit argument) --
+        stencils are rebuilt by re_setup, so they must be arguments, not
+        trace-time constants."""
+        return tuple(
+            {"stencil": lvl.stencil, "P": lvl.P,
+             "colors": None if lvl.smoother is None else lvl.smoother.colors}
+            for lvl in self._levels())
+
+    def _coarsest_solve_traced(self, s, geom, b, tol):
+        """Odd-even Schur GCR on the coarsest level, fully on device
+        (coarse_solve_odd_even_PRECISION, src/coarse_oddeven_generic.c:1139)."""
         cfg = self.cfg
-        s = level.stencil
-        tol = tol if tol is not None else cfg.coarse_tol
-        use_oe = cfg.odd_even and all(e % 2 == 0 for e in level.geom.lattice)
+        use_oe = cfg.odd_even and all(e % 2 == 0 for e in geom.lattice)
         if use_oe:
             def hop(v):
                 return coarse_hop(s.Df, s.Db, v)
@@ -232,75 +249,101 @@ class Multigrid:
                 return s.even * (s.self_op(ve) - hop(s.self_inv(hop(ve), s.odd)))
 
             b_e = s.even * (b - hop(s.self_inv(b, s.odd)))
-            res = fgmres(schur, b_e, tol=tol, restart_length=cfg.coarse_iter,
-                         max_restarts=cfg.coarse_restart)
-            x_e = s.even * res.x
+            x_e, iters, _, _ = device_gcr(schur, b_e, m=cfg.coarse_iter,
+                                          tol=tol, n_restarts=cfg.coarse_restart)
+            x_e = s.even * x_e
             x = x_e + s.self_inv(b - hop(x_e), s.odd)
         else:
-            res = fgmres(s.full_op, b, tol=tol, restart_length=cfg.coarse_iter,
-                         max_restarts=cfg.coarse_restart)
-            x = res.x
-        self.stats["coarse_iterations"] += res.iterations
-        self.stats["coarse_solves"] += 1
-        PROF.add("coarsest_solve (OE-GMRES)", level.depth,
-                 _time.perf_counter() - _t0)
-        if collect is not None:
-            collect[level.depth] = x
-        return x
+            x, iters, _, _ = device_gcr(s.full_op, b, m=cfg.coarse_iter,
+                                        tol=tol, n_restarts=cfg.coarse_restart)
+        return x, iters
 
-    def vcycle(self, level: MGLevel, eta, x=None, kcycle_tol=None, collect=None):
-        """One preconditioning cycle at `level` (vcycle_PRECISION)."""
+    def _cycle(self, data, depth: int, eta, kcycle_tol: float, x=None,
+               collect=None):
+        """One preconditioning cycle at `depth` (vcycle_PRECISION,
+        src/vcycle_generic.c:91-141); traceable.  Returns (x, coarse_iters).
+
+        `collect` (a dict, trace-level) receives the coarse-level solutions
+        reachable at the top level of the cycle -- solutions computed inside
+        the K-cycle's preconditioner loop stay in the loop carry and are not
+        collected (the bootstrap recursion refreshes those levels anyway)."""
         cfg = self.cfg
-        nxt = level.next
-        for i in range(level.cfg.n_cy):
-            r = eta if x is None else eta - level.stencil.full_op(x)
+        levels = self._levels()
+        level, nxt = levels[depth], levels[depth + 1]
+        s = data[depth]["stencil"]
+        citers = jnp.float32(0.0)
+        for _ in range(level.cfg.n_cy):
+            r = eta if x is None else eta - s.full_op(x)
             # layout boundary: SoA fine fields -> logical for P^H
             # (reference trans_back analog)
-            b_c = restrict(level.agg, level.P, level.stencil.to_logical(r))
+            b_c = restrict(level.agg, data[depth]["P"], s.to_logical(r))
             if nxt.is_coarsest:
-                x_c = self._coarsest_solve(nxt, b_c, collect=collect)
+                x_c, it = self._coarsest_solve_traced(
+                    data[depth + 1]["stencil"], nxt.geom, b_c, cfg.coarse_tol)
+                citers = citers + it
             elif cfg.kcycle:
-                ktol = kcycle_tol if kcycle_tol is not None else cfg.kcycle_tol
-                res = fgmres(
-                    nxt.stencil.full_op, b_c, tol=ktol,
-                    restart_length=cfg.kcycle_length,
-                    max_restarts=cfg.kcycle_restarts,
-                    preconditioner=lambda v: self.vcycle(
-                        nxt, v, kcycle_tol=kcycle_tol, collect=collect),
-                )
-                x_c = res.x
-                if collect is not None:
-                    collect[nxt.depth] = x_c
+                def kprec(v, _d=depth + 1):
+                    z, it = self._cycle(data, _d, v, kcycle_tol)
+                    return z, it
+
+                x_c, _, _, inner = device_gcr(
+                    data[depth + 1]["stencil"].full_op, b_c,
+                    m=cfg.kcycle_length, tol=kcycle_tol,
+                    n_restarts=cfg.kcycle_restarts, prec=kprec)
+                citers = citers + inner
             else:
-                x_c = self.vcycle(nxt, b_c, kcycle_tol=kcycle_tol, collect=collect)
-                if collect is not None:
-                    collect[nxt.depth] = x_c
-            corr = level.stencil.from_logical(
-                interpolate(level.agg, level.P, x_c, level.dof_shape))
+                x_c, it = self._cycle(data, depth + 1, b_c, kcycle_tol,
+                                      collect=collect)
+                citers = citers + it
+            if collect is not None:
+                collect[depth + 1] = x_c
+            corr = s.from_logical(
+                interpolate(level.agg, data[depth]["P"], x_c, level.dof_shape))
             x = corr if x is None else x + corr
-            import time as _time
+            from ..smoothers.sap import sap_smooth_from
+            x = sap_smooth_from(s, data[depth]["colors"], eta, x,
+                                cycles=level.cfg.post_smooth_iter,
+                                block_iter=level.cfg.block_iter,
+                                odd_even=(depth == 0 and cfg.odd_even))
+        return x, citers
 
-            from ..profiling import PROF
-            _t0 = _time.perf_counter()
-            x = level.smoother.smooth(eta, x, cycles=level.cfg.post_smooth_iter)
-            PROF.add("smoother (SAP)", level.depth, _time.perf_counter() - _t0)
-        return x
-
-    def __call__(self, eta):
-        """Depth-0 preconditioner application M(eta).
-
-        eta arrives in the outer solver's logical layout/precision; the
-        conversion to the fine stencil's layout + cfg.dtype here and back at
-        exit is the reference's trans_float/trans_back_float boundary
-        (src/schwarz_generic.c:1807-1846, preconditioner.c:25-69)."""
-        s = self.fine.stencil
+    def _cycle_entry(self, data, eta, depth: int, kcycle_tol: float,
+                     want_collect: bool):
+        """Full preconditioner application.  At depth 0 this includes the
+        layout and representation conversion at the boundary (the
+        reference's trans_float/trans_back_float,
+        src/schwarz_generic.c:1807-1846)."""
+        collect = {} if want_collect else None
+        if depth > 0:
+            x, citers = self._cycle(data, depth, eta, kcycle_tol,
+                                    collect=collect)
+            return x, citers, (collect if want_collect else {})
+        s = data[0]["stencil"]
         split_in = cplx.is_split(eta)
         if self._split and not split_in:
             eta = cplx.as_carray(eta)
-        out = s.to_logical(self.vcycle(
-            self.fine, s.from_logical(eta).astype(self.cfg.dtype)))
+        v = s.from_logical(eta).astype(self.cfg.dtype)
+        x, citers = self._cycle(data, 0, v, kcycle_tol, collect=collect)
+        out = s.to_logical(x)
         if not split_in and cplx.is_split(out):
             out = jax.lax.complex(out.re, out.im)
+        return out, citers, (collect if want_collect else {})
+
+    def _run_cycle(self, eta, kcycle_tol=None, want_collect=False, depth=0):
+        if self._cycle_jit is None:
+            self._cycle_jit = jax.jit(
+                self._cycle_entry,
+                static_argnames=("depth", "kcycle_tol", "want_collect"))
+        ktol = float(kcycle_tol if kcycle_tol is not None else self.cfg.kcycle_tol)
+        return self._cycle_jit(self._level_data(), eta, depth=depth,
+                               kcycle_tol=ktol, want_collect=want_collect)
+
+    def __call__(self, eta):
+        """Depth-0 preconditioner application M(eta) -- ONE device dispatch."""
+        out, citers, _ = self._run_cycle(eta)
+        # lazy device-side accumulation; fetched when stats are read
+        self.stats["coarse_iterations"] = self.stats["coarse_iterations"] + citers
+        self.stats["coarse_solves"] += 1
         return out
 
     # ------------------------------------------------------------------
@@ -321,16 +364,27 @@ class Multigrid:
         q = cplx.block_qr(mat, passes=1)
         return cplx.moveaxis(q, -1, 0).reshape(*tvs.shape)
 
+    def _setup_cycle(self, level: MGLevel, tv):
+        """One traced cycle at `level` for the bootstrap (tv and result in
+        the level's stencil layout); kcycle_tol = coarse_tol during setup
+        (src/setup_generic.c:448)."""
+        if level.depth == 0:
+            s = level.stencil
+            x_log, citers, collect = self._run_cycle(
+                s.to_logical(tv), kcycle_tol=self.cfg.coarse_tol,
+                want_collect=True)
+            return s.from_logical(x_log), collect
+        x, _, collect = self._run_cycle(tv, kcycle_tol=self.cfg.coarse_tol,
+                                        want_collect=True, depth=level.depth)
+        return x, collect
+
     def _inv_iter_fcycle(self, level: MGLevel, setup_iter: int):
         cfg = self.cfg
         for j in range(setup_iter):
             level.test_vectors = self._gram_schmidt(level.test_vectors)
             new_tvs = []
             for i in range(level.cfg.num_test_vectors):
-                collect: dict[int, jnp.ndarray] = {}
-                # kcycle_tol = coarse_tol during setup (src/setup_generic.c:448)
-                x = self.vcycle(level, level.test_vectors[i],
-                                kcycle_tol=cfg.coarse_tol, collect=collect)
+                x, collect = self._setup_cycle(level, level.test_vectors[i])
                 new_tvs.append(x * (1.0 / jnp.sqrt(cplx.norm2(x))))
                 # update coarser-level test vectors from the cycle's coarse
                 # solutions (test_vector_PRECISION_update)

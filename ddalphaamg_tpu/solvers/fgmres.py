@@ -43,6 +43,7 @@ class FGMRESResult:
     relres: float
     converged: bool
     resvec: list  # approximate relative residual after each iteration
+    relres_true: float = -1.0  # exact residual recompute (FGMRES_RESTEST)
 
 
 @jax.jit
@@ -84,6 +85,7 @@ def fgmres(
     max_restarts: int = 20,
     reorthogonalize: bool = False,
     print_residuals: bool = False,
+    restest: bool = False,
 ) -> FGMRESResult:
     """Solve apply_op(x) = b to relative residual `tol`.
 
@@ -224,8 +226,14 @@ def fgmres(
             break
 
     relres = float(gamma_jp1) / norm_r0 if norm_r0 else 0.0
+    relres_true = -1.0
+    if restest and norm_r0:
+        # exact residual recompute (reference FGMRES_RESTEST,
+        # src/linsolve_generic.c:351-356, on by default in Makefile:34)
+        relres_true = _norm(bf - op_flat(x)) / norm_r0
     return FGMRESResult(x.reshape(*shape), total_iters, relres,
-                        converged and not diverged, resvec)
+                        converged and not diverged, resvec,
+                        relres_true=relres_true)
 
 
 def _to_rdtype(v, rdtype):

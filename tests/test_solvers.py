@@ -109,3 +109,40 @@ def test_fgmres_mp_4to4(op4, rhs_ones):
                        rhs_ones) < 1e-9
     # the inner basis really was float32, the restart refresh float64
     assert np.dtype("float32") in ops and np.dtype("float64") in ops
+
+
+def test_device_gcr_matches_fgmres(op4, rhs_ones):
+    """Device-side GCR == GMRES (minimal-residual equivalence): same
+    iteration count to a loose tolerance, correct residual."""
+    import jax
+    import jax.numpy as jnp
+
+    from ddalphaamg_tpu.solvers.device_gmres import device_gcr
+
+    b = jnp.asarray(rhs_ones, dtype=jnp.complex128)
+    op = lambda v: wilson.d_plus_clover(op4, v)  # noqa: E731
+    tol = 5e-2
+
+    x, iters, relres2, aux = jax.jit(
+        lambda b: device_gcr(op, b, m=60, tol=tol, n_restarts=1))(b)
+    assert float(relres2) < tol ** 2
+    assert true_relres(op4, np.asarray(x), rhs_ones) < tol
+
+    ref = fgmres(op, b, tol=tol, restart_length=60, max_restarts=1)
+    assert abs(float(iters) - ref.iterations) <= 1, (float(iters), ref.iterations)
+
+
+def test_device_gcr_restarts_and_freeze(op4, rhs_ones):
+    import jax
+    import jax.numpy as jnp
+
+    from ddalphaamg_tpu.solvers.device_gmres import device_gcr
+
+    b = jnp.asarray(rhs_ones, dtype=jnp.complex128)
+    op = lambda v: wilson.d_plus_clover(op4, v)  # noqa: E731
+    # tight tol with restarts
+    x, iters, relres2, _ = device_gcr(op, b, m=30, tol=1e-8, n_restarts=6)
+    assert true_relres(op4, np.asarray(x), rhs_ones) < 1e-7
+    # freeze: generous budget must not spend iterations after convergence
+    x2, iters2, _, _ = device_gcr(op, b, m=30, tol=1e-1, n_restarts=6)
+    assert float(iters2) < 35
