@@ -181,6 +181,57 @@ class Solver:
         assert self.preconditioner is not None
         return self.preconditioner(jnp.asarray(v))
 
+    def _solve_mp_device(self, rhs, tol):
+        """fgmres_MP restructured for TPU (mixed_precision 2 with multigrid):
+        each restart's f32 inner solve runs as ONE device program
+        (Multigrid.inner_restart = flexible GCR + the traced MG cycle); the
+        f64 true-residual refresh runs once per restart.  Host round-trips
+        per solve: O(restarts), not O(iterations)."""
+        import jax
+
+        from .solvers.fgmres import FGMRESResult
+        from .utils import host_float
+
+        p = self.p
+        x64 = bool(jax.config.read("jax_enable_x64"))
+        hi = jnp.complex128 if x64 else jnp.complex64
+        hi_r = jnp.float64 if x64 else jnp.float32
+        lo_r = jnp.float32
+        op_hi = self.op.astype(hi)
+        b = device_put_complex(np.asarray(rhs), dtype=hi)
+
+        def cast_r(v, rd):
+            return v.astype_real(rd) if cplx.is_split(v) else v.astype(
+                jnp.complex128 if rd == jnp.float64 else jnp.complex64)
+
+        norm_b = float(np.sqrt(host_float(cplx.norm2(b))))
+        x = cplx.zeros_like(b) if cplx.is_split(b) else jnp.zeros_like(b)
+        iters = 0.0
+        citers = 0.0
+        resvec = []
+        converged = False
+        relres = 1.0
+        for restart in range(p.max_restarts):
+            r = b if restart == 0 else b - d_plus_clover(op_hi, x)
+            nr = float(np.sqrt(host_float(cplx.norm2(r))))
+            relres = nr / norm_b
+            resvec.append(relres)
+            if relres < tol:
+                converged = True
+                break
+            # inner f32 restart must reduce ||r|| by the remaining factor
+            # (clipped: f32 cannot verify much below ~1e-6 in one sweep)
+            rel_target = max(tol * norm_b / nr, 1e-7)
+            z, it, cit = self.mg.inner_restart(cast_r(r, lo_r), rel_target,
+                                               m=p.restart_length)
+            x = x + cast_r(z, hi_r)
+            iters += host_float(it)
+            citers += host_float(cit)
+        if self.mg is not None:
+            self.mg.stats["coarse_iterations"] = (
+                self.mg.stats["coarse_iterations"] + citers)
+        return FGMRESResult(x, int(iters), relres, converged, resvec)
+
     def solve(self, rhs=None, tol: Optional[float] = None,
               x0=None) -> tuple[np.ndarray, SolveInfo]:
         """Solve D x = rhs (reference dd_alpha_amg_wilson_solve /
@@ -223,6 +274,10 @@ class Solver:
             res = cgn(apply_fine,
                       lambda v: d_dagger(self.op, v), b, x0=x0, tol=tol,
                       max_iter=p.restart_length * p.max_restarts)
+        elif p.mixed_precision == 2 and self.mg is not None:
+            # TPU-shaped fgmres_MP: whole inner restarts as single device
+            # programs, O(restarts) host round-trips
+            res = self._solve_mp_device(rhs, tol)
         elif p.mixed_precision == 2:
             # fgmres_MP (src/linsolve.c:153): f64 outer / f32 inner; the
             # operator is applied in whatever precision the vector carries

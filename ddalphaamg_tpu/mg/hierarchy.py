@@ -136,6 +136,7 @@ class Multigrid:
         if self._split and not cplx.is_split(op.links):
             op = op.split()
         self._cycle_jit = None
+        self._inner_jit = None
         self.fine = self._build(op)
 
     # ------------------------------------------------------------------
@@ -335,6 +336,8 @@ class Multigrid:
                 self._cycle_entry,
                 static_argnames=("depth", "kcycle_tol", "want_collect"))
         ktol = float(kcycle_tol if kcycle_tol is not None else self.cfg.kcycle_tol)
+        if self.cfg.num_levels - depth <= 2:
+            ktol = 0.0  # no K-cycle below this depth: avoid retraces
         return self._cycle_jit(self._level_data(), eta, depth=depth,
                                kcycle_tol=ktol, want_collect=want_collect)
 
@@ -345,6 +348,37 @@ class Multigrid:
         self.stats["coarse_iterations"] = self.stats["coarse_iterations"] + citers
         self.stats["coarse_solves"] += 1
         return out
+
+    def _inner_restart_impl(self, data, r, rel_tol, m: int):
+        """One full mixed-precision inner restart as a single device
+        program: m iterations of flexible GCR over the fine operator,
+        preconditioned by the multigrid cycle, frozen once the residual
+        drops below rel_tol (a traced scalar -- the remaining reduction the
+        f64 outer loop still needs)."""
+        s = data[0]["stencil"]
+        split_in = cplx.is_split(r)
+        if self._split and not split_in:
+            r = cplx.as_carray(r)
+        v = s.from_logical(r).astype(self.cfg.dtype)
+
+        def prec(w):
+            return self._cycle(data, 0, w, float(self.cfg.kcycle_tol))
+
+        z, iters, _, citers = device_gcr(s.full_op, v, m=m, tol=rel_tol,
+                                         n_restarts=1, prec=prec)
+        out = s.to_logical(z)
+        if not split_in and cplx.is_split(out):
+            out = jax.lax.complex(out.re, out.im)
+        return out, iters, citers
+
+    def inner_restart(self, r, rel_tol, m: int):
+        """Mixed-precision inner restart (see api.Solver mp=2 on TPU):
+        returns (z, inner_iters, coarse_iters) -- all device values."""
+        if self._inner_jit is None:
+            self._inner_jit = jax.jit(self._inner_restart_impl,
+                                      static_argnames=("m",))
+        return self._inner_jit(self._level_data(), r,
+                               jnp.float32(rel_tol), m=m)
 
     # ------------------------------------------------------------------
     # adaptive (bootstrap) setup

@@ -74,13 +74,17 @@ def _alpha(s, Dr, r, geom):
 
 
 def _minres(s, r, block_op, block_iter: int):
-    """local_minres on every block at once (zero blocks stay zero)."""
-    delta = cplx.zeros_like(r)
-    for _ in range(block_iter):
+    """local_minres on every block at once (zero blocks stay zero).
+    lax.fori_loop keeps the traced program small (the whole multigrid cycle
+    compiles as one XLA program; unrolling here multiplies its size)."""
+    def body(_, st):
+        delta, r = st
         Dr = block_op(r)
         a = _alpha(s, Dr, r, s.geom)
-        delta = delta + a * r
-        r = r - a * Dr
+        return (delta + a * r, r - a * Dr)
+
+    delta, _ = jax.lax.fori_loop(0, block_iter, body,
+                                 (cplx.zeros_like(r), r))
     return delta
 
 
@@ -105,15 +109,22 @@ def _block_solve(s, r, block_iter: int, odd_even: bool):
 
 
 def _sweep(s, x, r, colors, cycles: int, block_iter: int, odd_even: bool):
+    """cycles sweeps over the colors; lax.scan over the color sequence so
+    the trace contains ONE block-solve body (plus the final step, which
+    skips the residual update)."""
     ncolors = len(colors)
-    for k in range(cycles):
-        for i, mask in enumerate(colors):
-            masked = r if ncolors == 1 else mask * r
-            delta = _block_solve(s, masked, block_iter, odd_even)
-            x = x + delta
-            if k == cycles - 1 and i == ncolors - 1:
-                break  # final residual update not needed
-            r = r - s.full_op(delta)
+    steps = cycles * ncolors
+    if steps > 1:
+        seq = jnp.stack(list(colors) * cycles)[: steps - 1]
+
+        def step(carry, mask):
+            x, r = carry
+            delta = _block_solve(s, mask * r, block_iter, odd_even)
+            return (x + delta, r - s.full_op(delta)), None
+
+        (x, r), _ = jax.lax.scan(step, (x, r), seq)
+    last = colors[(steps - 1) % ncolors]
+    x = x + _block_solve(s, last * r, block_iter, odd_even)
     return x
 
 
