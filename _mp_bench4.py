@@ -24,5 +24,6 @@ print("pre-warm-solve", flush=True)
 x, info = s.solve()
 t0=time.time(); x, info = s.solve(); dt=time.time()-t0
 b = config.make_rhs("ones", s.lattice)
-r = b - np.asarray(s.apply_operator(x))
+from ddalphaamg_tpu.utils import device_get_complex
+r = b - device_get_complex(s.apply_operator(x))
 print(f"mp2-device 4^4: solve {dt:.2f}s inner-iters {info.iterations} exact relres {np.linalg.norm(r)/np.linalg.norm(b):.2e} conv {info.converged}", flush=True)

@@ -21,6 +21,7 @@ import dataclasses
 import time
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -57,6 +58,11 @@ class SolveInfo:
 
 
 _SCHEMES = {1: "additive", 2: "red_black", 3: "sixteen_color"}
+
+# jitted operator applies: eager per-op dispatch is catastrophically slow on
+# remote-compile TPU relays (every primitive becomes its own tiny program)
+_jit_apply = jax.jit(lambda op, v: d_plus_clover(op, v))
+_jit_dagger = jax.jit(lambda op, v: d_dagger(op, v))
 
 
 class Solver:
@@ -174,12 +180,12 @@ class Solver:
     # --- solves ----------------------------------------------------------
 
     def apply_operator(self, v):
-        return d_plus_clover(self.op, jnp.asarray(v))
+        return _jit_apply(self.op, device_put_complex(v))
 
     def apply_preconditioner(self, v):
         """Reference dd_alpha_amg_preconditioner."""
         assert self.preconditioner is not None
-        return self.preconditioner(jnp.asarray(v))
+        return self.preconditioner(device_put_complex(v))
 
     def _solve_mp_device(self, rhs, tol):
         """fgmres_MP restructured for TPU (mixed_precision 2 with multigrid):
@@ -197,8 +203,25 @@ class Solver:
         hi = jnp.complex128 if x64 else jnp.complex64
         hi_r = jnp.float64 if x64 else jnp.float32
         lo_r = jnp.float32
-        op_hi = self.op.astype(hi)
         b = device_put_complex(np.asarray(rhs), dtype=hi)
+
+        # outer f64 operator in the SoA fast layout (XLA path: f64 Pallas is
+        # not supported by Mosaic; the layout win applies to emulated f64
+        # the same as to f32)
+        from .operators import fast
+        op_hi = self.op.astype(hi)
+        if not cplx.is_split(op_hi.links):
+            op_hi = op_hi.split()
+        links_hi = fast.links_to_soa(op_hi.links)
+        clov_hi = fast.clover_to_soa(op_hi.clover)
+        roll_hi = fast.make_rollers(self.lattice, rdtype=hi_r)
+        lattice = self.lattice
+
+        @jax.jit
+        def residual_and_norm2(l, c, b, x):
+            w = fast.d_plus_clover_soa(l, c, fast.spinor_to_soa(x), roll_hi)
+            r = b - fast.spinor_from_soa(w, lattice)
+            return r, cplx.norm2(r)
 
         def cast_r(v, rd):
             return v.astype_real(rd) if cplx.is_split(v) else v.astype(
@@ -212,8 +235,11 @@ class Solver:
         converged = False
         relres = 1.0
         for restart in range(p.max_restarts):
-            r = b if restart == 0 else b - d_plus_clover(op_hi, x)
-            nr = float(np.sqrt(host_float(cplx.norm2(r))))
+            if restart == 0:
+                r, rn2 = b, cplx.norm2(b)
+            else:
+                r, rn2 = residual_and_norm2(links_hi, clov_hi, b, x)
+            nr = float(np.sqrt(host_float(rn2)))
             relres = nr / norm_b
             resvec.append(relres)
             if relres < tol:
@@ -263,7 +289,7 @@ class Solver:
                 return out
             return wrapped if PROF.enabled else fn
 
-        apply_fine = prof_op(lambda v: d_plus_clover(self.op, v),
+        apply_fine = prof_op(lambda v: _jit_apply(self.op, v),
                              "fine_op (d_plus_clover)", FLOPS_FINE_FULL * vol)
         prec = self.preconditioner
         if prec is not None:
@@ -272,7 +298,7 @@ class Solver:
         t0 = time.time()
         if p.method == -1:
             res = cgn(apply_fine,
-                      lambda v: d_dagger(self.op, v), b, x0=x0, tol=tol,
+                      lambda v: _jit_dagger(self.op, v), b, x0=x0, tol=tol,
                       max_iter=p.restart_length * p.max_restarts)
         elif p.mixed_precision == 2 and self.mg is not None:
             # TPU-shaped fgmres_MP: whole inner restarts as single device
@@ -289,7 +315,7 @@ class Solver:
                 if rd not in ops:
                     cd = jnp.complex128 if rd == jnp.float64 else jnp.complex64
                     ops[rd] = self.op.astype(cd)
-                return d_plus_clover(ops[rd], v)
+                return _jit_apply(ops[rd], v)
 
             res = fgmres_mp(prof_op(apply_mp, "fine_op (d_plus_clover)",
                                     FLOPS_FINE_FULL * vol), b, x0=x0,
