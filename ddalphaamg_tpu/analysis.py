@@ -98,13 +98,16 @@ def test_vector_analysis(mg) -> list:
 def smoother_reduction(solver, seed: int = 0) -> float:
     """||eta - D M_SAP(eta)|| / ||eta|| for one smoother application
     (SCHWARZ_RES analog)."""
+    from .utils import device_get_complex
     rng = np.random.default_rng(seed)
     shape = (*solver.lattice, 4, 3)
-    eta = device_put_complex(rng.normal(size=shape) + 1j * rng.normal(size=shape))
+    eta_np = rng.normal(size=shape) + 1j * rng.normal(size=shape)
+    eta = device_put_complex(eta_np)
     z = solver.apply_preconditioner(eta)
-    z = device_put_complex(np.asarray(z))
-    r = device_put_complex(np.asarray(eta)) - device_put_complex(
-        np.asarray(solver.apply_operator(z)))
+    # device->host crossings must be complex-transfer-safe on TPU
+    dz = device_get_complex(solver.apply_operator(
+        device_put_complex(device_get_complex(z))))
+    r = device_put_complex(eta_np - dz)
     return _rnorm(r) / _rnorm(eta)
 
 

@@ -18,6 +18,7 @@ external-threading variants have no TPU meaning (XLA owns parallelism).
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Optional
 
@@ -55,6 +56,7 @@ class SolveInfo:
     converged: bool
     solve_time: float
     coarse_average: float = 0.0
+    memory_mb: float = 0.0          # device-memory high water (main.h:88-140)
 
 
 _SCHEMES = {1: "additive", 2: "red_black", 3: "sixteen_color"}
@@ -70,12 +72,20 @@ class Solver:
     method -1 CGN, 0 GMRES, 1/2/3 FGMRES + Schwarz (+AMG if interpolation>0
     and num_levels>1), 4 FGMRES + odd-even GMRES, 5 FGMRES + BiCGstab."""
 
-    def __init__(self, params: SolverParams):
+    def __init__(self, params: SolverParams, mesh=None):
+        """mesh: optional 4D jax.sharding.Mesh (parallel.make_solver_mesh).
+        With a mesh, the gauge field, fine/intermediate multigrid levels and
+        all solve vectors are sharded by 4D domain decomposition; the
+        coarsest level is replicated (reference process grid + gathering,
+        src/ghost.c:47 / src/gathering_generic.c:44-209)."""
         self.p = params.validate()
+        self.mesh = mesh
         self.op: Optional[WilsonOperator] = None
         self.mg: Optional[Multigrid] = None
         self.preconditioner = None
         self.status = SetupStatus()
+        self._U_host = None
+        self._wdf = None
         self._inner_dtype = (jnp.complex64 if params.mixed_precision
                              else default_complex_dtype())
 
@@ -94,18 +104,49 @@ class Solver:
     def set_conf(self, U, links_have_bc: bool = False) -> float:
         """Store the gauge field and build the Dirac operator; returns the
         average plaquette (reference dd_alpha_amg_set_conf)."""
-        U = device_put_complex(U, dtype=default_complex_dtype())
+        # keep an exact complex128 host copy: the TPU outer loop computes
+        # its true residual in double-float against the f64-accurate
+        # operator (operators/dfloat.py) since TPU executes no f64 HLOs
+        U_host = np.asarray(device_get_complex(U), np.complex128)
         if not links_have_bc and self.p.anti_pbc:
-            U = U.at[0, -1].multiply(-1.0)
+            U_host = U_host.copy()
+            U_host[0, -1] *= -1.0
+        self._U_host = U_host
+        self._wdf = None
+        U = device_put_complex(U_host, dtype=default_complex_dtype())
+        if self.mesh is not None:
+            from . import parallel
+            U = parallel.shard_links(self.mesh, U)
         self.op = WilsonOperator.from_gauge(U, m0=self.p.m0, csw=self.p.csw)
         self.status.gauge_updates_since_setup += 1
         return float(average_plaquette(U))
+
+    def _wilson_df(self):
+        """The f64-accurate operator in double-float SoA form (cached per
+        (m0, csw))."""
+        from .gauge import compute_clover_np
+        from .operators import dfloat as dfm
+        key = (self.p.m0, self.p.csw)
+        if self._wdf is not None and self._wdf[0] == key:
+            return self._wdf[1], self._wdf[2]
+        clov = compute_clover_np(self._U_host, self.p.m0, self.p.csw)
+        wdf = dfm.build_wilson_df(0.5 * self._U_host, clov, self.lattice)
+        roll = dfm.make_rollers_df(self.lattice)
+        self._wdf = (key, wdf, roll)
+        return wdf, roll
 
     # --- setup ---------------------------------------------------------
 
     def _mg_config(self) -> MGConfig:
         p = self.p
+        fine_layout = "auto"
+        if self.mesh is not None and (self.mesh.shape["y"] > 1
+                                      or self.mesh.shape["x"] > 1):
+            # the SoA fast path fuses Y*X; meshes splitting y/x need the
+            # shardable logical layout at depth 0
+            fine_layout = "logical"
         return MGConfig(
+            mesh=self.mesh, fine_layout=fine_layout,
             levels=[LevelConfig(
                 lattice=tuple(d.global_lattice), block=tuple(d.block_lattice),
                 post_smooth_iter=d.post_smooth_iter, block_iter=d.block_iter,
@@ -132,6 +173,11 @@ class Solver:
 
         if p.method in (1, 2, 3):
             if p.num_levels > 1 and p.interpolation > 0:
+                if p.interpolation not in (1, 2, 4):
+                    raise ValueError(
+                        f"interpolation: {p.interpolation} unsupported "
+                        "(0 off, 1 two-level extension, 2 bootstrap F-cycle, "
+                        "4 read test vectors from file; src/setup_generic.c)")
                 self.mg = Multigrid(self.op, self._mg_config())
                 if p.interpolation == 4:
                     # read test vectors from checkpoint + re_setup
@@ -142,8 +188,11 @@ class Solver:
                         single_file=p.tv_io_single_file)
                     self.mg.set_test_vectors(
                         tvs.reshape(d0.test_vectors, *self.lattice, 4, 3))
-                elif p.interpolation >= 2:
+                elif p.interpolation == 2:
                     self.mg.bootstrap_setup()
+                elif p.interpolation == 1:
+                    # inv_iter_2lvl_extension_setup (src/setup_generic.c:324)
+                    self.mg.twolevel_extension_setup()
                 self.preconditioner = self.mg
             else:
                 self.preconditioner = SchwarzPreconditioner(
@@ -187,7 +236,7 @@ class Solver:
         assert self.preconditioner is not None
         return self.preconditioner(device_put_complex(v))
 
-    def _solve_mp_device(self, rhs, tol):
+    def _solve_mp_device(self, rhs, tol, x0=None):
         """fgmres_MP restructured for TPU (mixed_precision 2 with multigrid):
         each restart's f32 inner solve runs as ONE device program
         (Multigrid.inner_restart = flexible GCR + the traced MG cycle); the
@@ -203,7 +252,8 @@ class Solver:
         hi = jnp.complex128 if x64 else jnp.complex64
         hi_r = jnp.float64 if x64 else jnp.float32
         lo_r = jnp.float32
-        b = device_put_complex(np.asarray(rhs), dtype=hi)
+        split = default_split()
+        b = device_put_complex(np.asarray(rhs), dtype=hi, split=split)
 
         # outer f64 operator in the SoA fast layout (XLA path: f64 Pallas is
         # not supported by Mosaic; the layout win applies to emulated f64
@@ -219,8 +269,15 @@ class Solver:
 
         @jax.jit
         def residual_and_norm2(l, c, b, x):
-            w = fast.d_plus_clover_soa(l, c, fast.spinor_to_soa(x), roll_hi)
-            r = b - fast.spinor_from_soa(w, lattice)
+            # the SoA ops are split-complex only; convert at the boundary
+            # when the ambient representation is plain complex (CPU)
+            xs = x if cplx.is_split(x) else cplx.as_carray(x)
+            w = fast.spinor_from_soa(
+                fast.d_plus_clover_soa(l, c, fast.spinor_to_soa(xs), roll_hi),
+                lattice)
+            if not cplx.is_split(b):
+                w = jax.lax.complex(w.re, w.im)
+            r = b - w
             return r, cplx.norm2(r)
 
         def cast_r(v, rd):
@@ -228,22 +285,31 @@ class Solver:
                 jnp.complex128 if rd == jnp.float64 else jnp.complex64)
 
         norm_b = float(np.sqrt(host_float(cplx.norm2(b))))
-        x = cplx.zeros_like(b) if cplx.is_split(b) else jnp.zeros_like(b)
+        if x0 is not None:
+            x = cast_r(device_put_complex(np.asarray(x0), dtype=hi,
+                                          split=split), hi_r)
+        else:
+            x = cplx.zeros_like(b) if cplx.is_split(b) else jnp.zeros_like(b)
         iters = 0.0
         citers = 0.0
         resvec = []
         converged = False
         relres = 1.0
-        for restart in range(p.max_restarts):
-            if restart == 0:
+        for restart in range(p.max_restarts + 1):
+            if restart == 0 and x0 is None:
                 r, rn2 = b, cplx.norm2(b)
             else:
+                # true residual in hi precision -- also runs once AFTER the
+                # final inner restart so the returned relres/converged
+                # reflect the solution actually returned
                 r, rn2 = residual_and_norm2(links_hi, clov_hi, b, x)
             nr = float(np.sqrt(host_float(rn2)))
             relres = nr / norm_b
             resvec.append(relres)
             if relres < tol:
                 converged = True
+                break
+            if restart == p.max_restarts:
                 break
             # inner f32 restart must reduce ||r|| by the remaining factor
             # (clipped: f32 cannot verify much below ~1e-6 in one sweep)
@@ -258,6 +324,87 @@ class Solver:
                 self.mg.stats["coarse_iterations"] + citers)
         return FGMRESResult(x, int(iters), relres, converged, resvec)
 
+    def _solve_df_device(self, rhs, tol, x0=None):
+        """TPU production outer loop: the reference's f64 outer fgmres_MP
+        (src/linsolve.c:153-314) rebuilt without f64 HLOs.
+
+        Each restart: ONE device program for the f32 inner solve
+        (Multigrid.inner_restart = flexible GCR over the traced MG cycle),
+        then a true-residual refresh in DOUBLE-FLOAT (two-f32, ~49-bit)
+        arithmetic against the f64-accurate operator (operators/dfloat.py)
+        -- so relative residuals down to 1e-10 and beyond are reached and
+        *verified* on a chip with no f64 support.  Host round-trips per
+        solve: O(restarts), not O(iterations) (the reference's host is its
+        compute device, linsolve_generic.c:219; on TPU a host-driven Arnoldi
+        pays ~26 ms/iteration in dispatch)."""
+        import jax
+
+        from .operators import dfloat as dfm
+        from .solvers.fgmres import FGMRESResult
+        from .utils import host_float
+
+        p = self.p
+        lat = self.lattice
+        t, z, y, x_ = lat
+        wdf, _ = self._wilson_df()
+
+        def to_soa64(a64):
+            return np.transpose(a64.reshape(*lat, 4, 3),
+                                (4, 5, 0, 1, 2, 3)).reshape(4, 3, t, z, y * x_)
+
+        b64 = np.asarray(rhs, np.complex128)
+        b_cdf = dfm.cdf_from64(to_soa64(b64))
+        norm_b = float(np.linalg.norm(b64))
+
+        # jitted building blocks cached per-lattice in dfloat (no
+        # per-solve recompilation -- relay compiles cost tens of seconds)
+        residual, extract_r32, axpy = dfm.build_outer_fns(lat)
+        from .utils import host_array
+
+        if x0 is not None:
+            x = dfm.cdf_from64(to_soa64(np.asarray(x0, np.complex128)))
+        else:
+            zero = jnp.zeros((4, 3, t, z, y * x_), jnp.float32)
+            x = dfm.CDF(dfm.DF(zero, zero), dfm.DF(zero, zero))
+
+        it_handles = []          # device handles, fetched once after the
+        resvec = []              # loop (each fetch pays ~26 ms on the relay)
+        converged = False
+        relres = 1.0
+        for restart in range(p.max_restarts + 1):
+            if restart == 0 and x0 is None:
+                r, nr = b_cdf, norm_b
+            else:
+                r, rn2 = residual(wdf, b_cdf, x)
+                hi, lo = host_array(rn2)
+                nr = float(np.sqrt(max(float(hi) + float(lo), 0.0)))
+            relres = nr / norm_b
+            resvec.append(relres)
+            if relres < tol:
+                converged = True
+                break
+            if restart == p.max_restarts:
+                break
+            # f32 inner restart: reduce ||r|| by the remaining factor.
+            # Clip at 1e-5: pushing an f32 Krylov sweep toward its ~1e-7
+            # verification floor stalls and burns iterations; 1e-5 targets
+            # converge cleanly and the iterative refinement recovers the
+            # rest (the reference's restart-as-precision-refresh,
+            # src/linsolve.c:210-242).
+            rel_target = max(tol * norm_b / nr, 1e-5)
+            zc, it, cit = self.mg.inner_restart(extract_r32(r), rel_target,
+                                                m=p.restart_length)
+            x = axpy(x, zc)
+            it_handles.append((it, cit))
+        iters = sum(host_float(it) for it, _ in it_handles)
+        citers = sum(host_float(cit) for _, cit in it_handles)
+        if self.mg is not None:
+            self.mg.stats["coarse_iterations"] = (
+                self.mg.stats["coarse_iterations"] + citers)
+        x_log = dfm.cdf_to64(x).reshape(4, 3, t, z, y, x_).transpose(
+            2, 3, 4, 5, 0, 1)
+        return FGMRESResult(x_log, int(iters), relres, converged, resvec)
+
     def solve(self, rhs=None, tol: Optional[float] = None,
               x0=None) -> tuple[np.ndarray, SolveInfo]:
         """Solve D x = rhs (reference dd_alpha_amg_wilson_solve /
@@ -268,6 +415,9 @@ class Solver:
         if rhs is None:
             rhs = make_rhs(p.right_hand_side, self.lattice, seed=p.seed)
         b = device_put_complex(rhs, dtype=default_complex_dtype())
+        if self.mesh is not None:
+            from . import parallel
+            b = parallel.shard_field(self.mesh, b, self.lattice)
 
         if self.mg is not None:
             self.mg.stats["coarse_iterations"] = 0
@@ -300,10 +450,17 @@ class Solver:
             res = cgn(apply_fine,
                       lambda v: _jit_dagger(self.op, v), b, x0=x0, tol=tol,
                       max_iter=p.restart_length * p.max_restarts)
+        elif (self.mg is not None and self._U_host is not None
+              and default_split()
+              and not os.environ.get("DDAAMG_HOST_OUTER")):
+            # TPU production path (any mixed_precision): device-restart
+            # inner solves + double-float outer residual -- O(restarts)
+            # host round-trips and true 1e-10 verification without f64
+            res = self._solve_df_device(rhs, tol, x0=x0)
         elif p.mixed_precision == 2 and self.mg is not None:
-            # TPU-shaped fgmres_MP: whole inner restarts as single device
-            # programs, O(restarts) host round-trips
-            res = self._solve_mp_device(rhs, tol)
+            # restart-shaped fgmres_MP: whole inner restarts as single
+            # device programs, O(restarts) host round-trips
+            res = self._solve_mp_device(rhs, tol, x0=x0)
         elif p.mixed_precision == 2:
             # fgmres_MP (src/linsolve.c:153): f64 outer / f32 inner; the
             # operator is applied in whatever precision the vector carries
@@ -331,9 +488,11 @@ class Solver:
         coarse_avg = 0.0
         if self.mg is not None and res.iterations:
             coarse_avg = self.mg.stats["coarse_iterations"] / res.iterations
+        from .profiling import hbm_highwater_mb
         info = SolveInfo(iterations=res.iterations, relres=res.relres,
                          converged=res.converged, solve_time=dt,
-                         coarse_average=coarse_avg)
+                         coarse_average=coarse_avg,
+                         memory_mb=hbm_highwater_mb())
         return device_get_complex(res.x), info
 
     def write_test_vectors(self, path: Optional[str] = None,

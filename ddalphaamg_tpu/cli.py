@@ -87,10 +87,16 @@ def main(argv=None):
     print(f"|       FGMRES iterations: {info.iterations:<6d} coarse average: {info.coarse_average:<6.2f}   |")
     print(f"| exact relative residual: ||r||/||b|| = {exact:e}      |")
     print(f"| elapsed wall clock time: {info.solve_time:<8.4f} seconds                |")
+    if info.memory_mb:
+        print(f"| maximal device memory/MPI process: {info.memory_mb:<8.1f} MB        |")
     print("+----------------------------------------------------------+")
     if args.profile:
         from .profiling import PROF
         print(PROF.table())
+        if solver.mg is not None:
+            # per-level kernel-class table (reference prof_print analog)
+            from .profiling import profile_hierarchy
+            print(profile_hierarchy(solver.mg).table())
     return 0 if info.converged else 1
 
 

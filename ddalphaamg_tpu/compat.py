@@ -51,9 +51,10 @@ class dd_alpha_amg_parameters:
     coarse_grid_iterations: int = 100
     coarse_grid_maximum_number_of_restarts: int = 5
     coarse_grid_tolerance: float = 5e-2
-    solver_mass: float = -0.5
-    setup_mass: float = -0.5
-    c_sw: float = 1.0
+    # None = inherit from the param file (see dd_alpha_amg_par note)
+    solver_mass: Optional[float] = None
+    setup_mass: Optional[float] = None
+    c_sw: Optional[float] = None
 
 
 @dataclasses.dataclass
@@ -61,9 +62,12 @@ class dd_alpha_amg_par:
     """Mirror of the init struct (src/dd_alpha_amg.h:29-39)."""
     param_file_path: str = ""
     bc: int = _BC_ANTI_PERIODIC
-    m0: float = -0.5
-    csw: float = 1.0
-    setup_m0: float = -0.5
+    # None = inherit from the param file; set explicitly to override
+    # (the reference struct has no "unset" state, but defaulting to concrete
+    # values here would silently clobber ini-file m0/csw)
+    m0: Optional[float] = None
+    csw: Optional[float] = None
+    setup_m0: Optional[float] = None
     amg_params: Optional[dd_alpha_amg_parameters] = None
 
 
@@ -108,8 +112,10 @@ def _params_from(par: dd_alpha_amg_par) -> SolverParams:
         p.coarse_iter = a.coarse_grid_iterations
         p.coarse_restart = a.coarse_grid_maximum_number_of_restarts
         p.coarse_tol = a.coarse_grid_tolerance
-        p.m0 = a.solver_mass
-        p.csw = a.c_sw
+        if a.solver_mass is not None:
+            p.m0 = a.solver_mass
+        if a.c_sw is not None:
+            p.csw = a.c_sw
     p.m0 = par.m0 if par.m0 is not None else p.m0
     p.csw = par.csw if par.csw is not None else p.csw
     p.anti_pbc = par.bc == _BC_ANTI_PERIODIC
@@ -150,7 +156,24 @@ def dd_alpha_amg_setup(iterations: Optional[int] = None) -> dict:
     if iterations is not None:
         for d in _solver.p.depth:
             d.setup_iter = iterations
-    _solver.setup()
+    # setup mass: build the hierarchy at setup_m0/setup_mass, solve at m0
+    # (reference g.setup_m0, src/dd_alpha_amg.c:258-321): the preconditioner
+    # keeps the setup-mass hierarchy while the outer operator carries the
+    # solve mass.
+    a = _par.amg_params if _par is not None else None
+    sm = None
+    if _par is not None and _par.setup_m0 is not None:
+        sm = _par.setup_m0
+    elif a is not None and a.setup_mass is not None:
+        sm = a.setup_mass
+    if sm is not None and sm != _solver.p.m0 and _solver.op is not None:
+        from .operators.wilson import shift_diagonal
+        solve_op = _solver.op
+        _solver.op = shift_diagonal(solve_op, sm - _solver.p.m0)
+        _solver.setup()
+        _solver.op = solve_op
+    else:
+        _solver.setup()
     _status.gauge_updates_since_last_setup = 0
     _status.gauge_updates_since_last_setup_update = 0
     return {"setup_time": _solver.status.setup_time}

@@ -305,6 +305,42 @@ def inv(a):
     return CArray(embi[..., :d, :d], embi[..., d:, :d])
 
 
+def herm_inv(a):
+    """Batched inverse of HERMITIAN [..., d, d] blocks via Cholesky
+    factorization (reference selfcoupling_cholesky_decomposition_PRECISION,
+    src/oddeven_generic.c:24-117: the clover self-coupling is LL^H-factored
+    per site).  Numerically stronger than a general LU inverse for the
+    Hermitian (positive-definite in the physical mass range) clover blocks;
+    the explicit inverse is still formed so applications remain one batched
+    matmul (MXU-friendly) instead of sequential triangular solves.
+
+    The input is re-Hermitized first so construction rounding cannot break
+    the factorization.
+    """
+    from jax.scipy.linalg import solve_triangular
+    if not isinstance(a, CArray):
+        ah = 0.5 * (a + jnp.conj(jnp.swapaxes(a, -1, -2)))
+        d = a.shape[-1]
+        L = jnp.linalg.cholesky(ah)
+        eye = jnp.broadcast_to(jnp.eye(d, dtype=a.dtype), a.shape)
+        l_inv = solve_triangular(L, eye, lower=True)
+        return jnp.conj(jnp.swapaxes(l_inv, -1, -2)) @ l_inv
+    # CArray: the real embedding [[R,-I],[I,R]] of a Hermitian M is
+    # symmetric, and positive definite iff M is -- Cholesky applies directly
+    d = a.shape[-1]
+    re = 0.5 * (a.re + jnp.swapaxes(a.re, -1, -2))
+    im = 0.5 * (a.im - jnp.swapaxes(a.im, -1, -2))
+    top = jnp.concatenate([re, -im], axis=-1)
+    bot = jnp.concatenate([im, re], axis=-1)
+    emb = jnp.concatenate([top, bot], axis=-2)
+    from jax.scipy.linalg import solve_triangular as _st
+    L = jnp.linalg.cholesky(emb)
+    eye = jnp.broadcast_to(jnp.eye(2 * d, dtype=emb.dtype), emb.shape)
+    l_inv = _st(L, eye, lower=True)
+    embi = jnp.swapaxes(l_inv, -1, -2) @ l_inv
+    return CArray(embi[..., :d, :d], embi[..., d:, :d])
+
+
 def block_qr(a, passes: int = 2):
     """Thin QR with orthonormal columns for batched [..., m, n] blocks.
 

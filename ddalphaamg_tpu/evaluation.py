@@ -91,16 +91,31 @@ def run_scan(params: SolverParams, sc: ScanConfig, printer=print):
 
     rows = []
     x_ref = None
+    ref_op = None           # operator that x_ref was computed against
+    solver = None
     for v in scan_values(sc):
         p = dataclasses.replace(
             params,
             depth=[dataclasses.replace(d) for d in params.depth])
         _set_scan_value(p, sc.scan_variable, v)
-        solver = api.Solver(p)
-        solver.read_conf()
-        t0 = time.time()
-        solver.setup()
-        setup_t = time.time() - t0
+        scans_m0 = sc.scan_variable == "m0"
+        if solver is None or (sc.re_setup and not (scans_m0 and sc.shift_update)):
+            # full rebuild per scan point (reference re_setup semantics)
+            solver = api.Solver(p)
+            solver.read_conf()
+            t0 = time.time()
+            solver.setup()
+            setup_t = time.time() - t0
+        elif scans_m0 and sc.shift_update:
+            # cheap mass-shift update (reference shift_update,
+            # src/var_table.c:82-90 / src/dirac.c:670)
+            t0 = time.time()
+            solver.shift_update(v)
+            setup_t = time.time() - t0
+        else:
+            # keep the existing setup, update solver-side parameters only
+            solver.p = p
+            setup_t = 0.0
 
         iters = tsolve = cavg = rres = 0.0
         err = float("nan")
@@ -112,15 +127,18 @@ def run_scan(params: SolverParams, sc: ScanConfig, printer=print):
             cavg += info.coarse_average
             rres = info.relres
             if sc.track_error or sc.track_cgn_error:
-                if x_ref is None:
+                if x_ref is None or ref_op is not solver.op:
                     # error reference: a CGN solve to near machine precision
-                    # (reference track_cgn_error, src/init.c:934-937)
+                    # against THIS point's operator (reference
+                    # track_cgn_error, src/init.c:934-937); recomputed when
+                    # the scanned variable changed the operator
                     from .operators.wilson import d_dagger
                     res = cgn(lambda w: d_plus_clover(solver.op, w),
                               lambda w: d_dagger(solver.op, w),
                               device_put_complex(rhs), tol=1e-12,
                               max_iter=100000)
                     x_ref = device_get_complex(res.x)
+                    ref_op = solver.op
                 err = (np.linalg.norm(np.asarray(x) - x_ref)
                        / np.linalg.norm(x_ref))
         n = max(1, sc.average_over)
@@ -132,12 +150,18 @@ def run_scan(params: SolverParams, sc: ScanConfig, printer=print):
 
 def format_table(sc: ScanConfig, rows) -> str:
     """plot_table analog (src/var_table.c:110-128)."""
+    show_err = sc.track_error or sc.track_cgn_error
     hdr = (f"| {sc.scan_variable:>24s} | setup(s) | iters | solve(s) "
            f"| coarse avg |   relres |")
+    if show_err:
+        hdr += "    error |"
     sep = "+" + "-" * (len(hdr) - 2) + "+"
     lines = [sep, hdr, sep]
     for r in rows:
-        lines.append(f"| {r.value:24.6g} | {r.setup_time:8.2f} | {r.solve_iters:5.1f} "
-                     f"| {r.solve_time:8.3f} | {r.coarse_avg:10.2f} | {r.relres:.2e} |")
+        row = (f"| {r.value:24.6g} | {r.setup_time:8.2f} | {r.solve_iters:5.1f} "
+               f"| {r.solve_time:8.3f} | {r.coarse_avg:10.2f} | {r.relres:.2e} |")
+        if show_err:
+            row += f" {r.error:.2e} |"
+        lines.append(row)
     lines.append(sep)
     return "\n".join(lines)

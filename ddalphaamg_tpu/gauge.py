@@ -138,6 +138,66 @@ def compute_clover(U: jnp.ndarray, m0: float, csw: float,
     return clover
 
 
+# ---------------------------------------------------------------------------
+# host-side (numpy, complex128) mirrors -- used to build the f64-accurate
+# operator for the TPU double-float residual (operators/dfloat.py): TPU v5e
+# executes no f64 HLOs, so exact operator entries must come from the host.
+# Same math as above; kept in lockstep with compute_clover.
+# ---------------------------------------------------------------------------
+
+def _roll_np(a, shift, mu):
+    return np.roll(a, shift, axis=mu)
+
+
+def _dag_np(a):
+    return np.conj(np.swapaxes(a, -1, -2))
+
+
+def _mm_np(*ms):
+    out = ms[0]
+    for m in ms[1:]:
+        out = np.einsum("...ij,...jk->...ik", out, m)
+    return out
+
+
+def clover_Q_np(U: np.ndarray, mu: int, nu: int) -> np.ndarray:
+    Umu, Unu = U[mu], U[nu]
+    Umu_m = _roll_np(Umu, 1, mu)
+    Unu_m = _roll_np(Unu, 1, mu)
+    Umu_n = _roll_np(Umu, 1, nu)
+    Unu_n = _roll_np(Unu, 1, nu)
+    Umu_mn = _roll_np(Umu_m, 1, nu)
+    Unu_mn = _roll_np(Unu_m, 1, nu)
+    p1 = _mm_np(Umu, _roll_np(Unu, -1, mu), _dag_np(_roll_np(Umu, -1, nu)), _dag_np(Unu))
+    p2 = _mm_np(Unu, _dag_np(_roll_np(Umu_m, -1, nu)), _dag_np(Unu_m), Umu_m)
+    p3 = _mm_np(_dag_np(Umu_m), _dag_np(Unu_mn), Umu_mn, Unu_n)
+    p4 = _mm_np(_dag_np(Unu_n), Umu_n, _roll_np(_roll_np(Unu, -1, mu), 1, nu), _dag_np(Umu))
+    return (p1 + p2 + p3 + p4) / 16.0
+
+
+def compute_clover_np(U: np.ndarray, m0: float, csw: float,
+                      basis_name: str | None = None) -> np.ndarray:
+    """Host complex128 clover [T,Z,Y,X,2,6,6]; same convention as
+    compute_clover (reference src/dirac.c:24-58, 374-402)."""
+    basis = get_basis(basis_name) if basis_name else get_basis()
+    U = np.asarray(U, np.complex128)
+    lat = U.shape[1:5]
+    clover = np.broadcast_to((4.0 + m0) * np.eye(6, dtype=np.complex128),
+                             (*lat, 2, 6, 6)).copy()
+    if csw != 0.0:
+        acc = np.zeros((*lat, 2, 6, 6), dtype=np.complex128)
+        for mu in range(4):
+            for nu in range(mu + 1, 4):
+                sig = basis.sigma_munu(mu, nu)
+                q = clover_Q_np(U, mu, nu)
+                qd = q - _dag_np(q)
+                blk = np.stack([sig[0:2, 0:2], sig[2:4, 2:4]])
+                k = np.einsum("cst,...ij->...csitj", blk, qd)
+                acc += k.reshape(*lat, 2, 6, 6)
+        clover = clover - csw * acc
+    return clover
+
+
 def unit_gauge(lattice, dtype=jnp.complex128) -> jnp.ndarray:
     """Unit (free-field) configuration (reference analog: conf/random/unit_conf.c)."""
     eye = jnp.eye(3, dtype=dtype)

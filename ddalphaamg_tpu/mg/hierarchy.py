@@ -74,6 +74,11 @@ class MGConfig:
     # depth-0 field layout: "logical" [T,Z,Y,X,4,3], "soa" [4,3,T,Z,M]
     # (the TPU fast path + Pallas Dslash), or "auto" (soa iff split)
     fine_layout: str = "auto"
+    # 4D device mesh (parallel.make_solver_mesh) for production multi-device
+    # solves: fine/intermediate levels are sharded by domain decomposition,
+    # the coarsest level is replicated (the reference's "gathering" analog,
+    # src/gathering_generic.c:44-209).  None = single device.
+    mesh: object = None
 
     @property
     def use_soa(self):
@@ -137,11 +142,40 @@ class Multigrid:
             op = op.split()
         self._cycle_jit = None
         self._inner_jit = None
+        self._2lvl_jit = None
         self.fine = self._build(op)
 
     # ------------------------------------------------------------------
     # hierarchy construction
     # ------------------------------------------------------------------
+
+    def _shard_level(self, level: MGLevel):
+        """Apply the production distribution to a level's arrays
+        (4D domain decomposition on fine/intermediate levels, replication on
+        the coarsest -- reference gathering_PRECISION_setup analog)."""
+        mesh = self.cfg.mesh
+        if mesh is None:
+            return
+        from .. import parallel
+        # coarsest = last configured level (level.next may not be linked yet
+        # during the build loop)
+        if level.depth == self.cfg.num_levels - 1 and level.depth > 0:
+            level.stencil = parallel.replicate_stencil(mesh, level.stencil)
+        else:
+            level.stencil = parallel.shard_stencil(mesh, level.stencil)
+        if level.smoother is not None:
+            level.smoother.replace_stencil(level.stencil)
+            soa = isinstance(level.stencil, WilsonStencilSoA)
+            level.smoother.colors = tuple(
+                parallel.shard_field(mesh, c, level.geom.lattice, soa=soa)
+                for c in level.smoother.colors)
+        if level.test_vectors is not None:
+            level.test_vectors = parallel.shard_stacked_field(
+                mesh, level.test_vectors, level.geom.lattice,
+                soa=isinstance(level.stencil, WilsonStencilSoA))
+        if level.P is not None:
+            level.P = parallel.shard_interpolation(
+                mesh, level.P, level.agg.coarse_lattice)
 
     def _build(self, op: WilsonOperator) -> MGLevel:
         cfg = self.cfg
@@ -169,6 +203,10 @@ class Multigrid:
                 key, sub = jax.random.split(key)
                 prev.test_vectors = self._initial_test_vectors(levels[-1], sub)
                 prev.P = build_interpolation(agg, prev.tvs_logical())
+                if cfg.mesh is not None:
+                    from .. import parallel
+                    prev.P = parallel.shard_interpolation(
+                        cfg.mesh, prev.P, agg.coarse_lattice)
                 cop = build_coarse_operator(prev.operator_for_galerkin(), agg, prev.P)
                 stencil = CoarseStencil.build(cop, geom)
             level = MGLevel(depth=d, geom=geom, cfg=lc, stencil=stencil,
@@ -181,6 +219,7 @@ class Multigrid:
             if levels:
                 levels[-1].next = level
             levels.append(level)
+            self._shard_level(level)
         return levels[0]
 
     def _initial_test_vectors(self, level: MGLevel, key) -> jnp.ndarray:
@@ -201,6 +240,10 @@ class Multigrid:
             tv = cplx.CArray(re, im)
         else:
             tv = jax.lax.complex(re, im).astype(self.cfg.dtype)
+        if self.cfg.mesh is not None:
+            from .. import parallel
+            tv = parallel.shard_stacked_field(self.cfg.mesh, tv,
+                                              level.geom.lattice, soa=False)
         out = []
         for i in range(n):
             v = level.stencil.from_logical(tv[i])
@@ -392,6 +435,58 @@ class Multigrid:
             return
         self._inv_iter_fcycle(self.fine, it)
 
+    def twolevel_extension_setup(self, setup_iter: Optional[int] = None):
+        """interpolation mode 1: inv_iter_2lvl_extension_setup_PRECISION
+        (src/setup_generic.c:324-416).  Per setup iteration, each test
+        vector gets one *plain two-level* inverse-iteration update: coarse
+        GMRES solve of P^H tv on the immediate next level (unpreconditioned;
+        odd-even Schur when the next level is coarsest), interpolation, then
+        post-smoothing toward tv; P and D_c are rebuilt one coarsening at a
+        time, and the procedure recurses level by level."""
+        it = setup_iter if setup_iter is not None else self.cfg.levels[0].setup_iter
+        if self.cfg.num_levels < 2 or it <= 0:
+            return
+        self._inv_iter_2lvl(self.fine, it)
+
+    def _twolevel_update_one(self, data, depth: int, tv):
+        """One mode-1 update of a single test vector at `depth` (traced)."""
+        cfg = self.cfg
+        levels = self._levels()
+        level, nxt = levels[depth], levels[depth + 1]
+        s = data[depth]["stencil"]
+        b_c = restrict(level.agg, data[depth]["P"], s.to_logical(tv))
+        ns = data[depth + 1]["stencil"]
+        if nxt.is_coarsest:
+            x_c, _ = self._coarsest_solve_traced(ns, nxt.geom, b_c,
+                                                 cfg.coarse_tol)
+        else:
+            # plain (unpreconditioned) coarse GMRES, reference gmres built
+            # with prec=_NOTHING (setup_generic.c:335-336)
+            x_c, _, _, _ = device_gcr(ns.full_op, b_c, m=cfg.coarse_iter,
+                                      tol=cfg.coarse_tol,
+                                      n_restarts=cfg.coarse_restart)
+        buf = s.from_logical(
+            interpolate(level.agg, data[depth]["P"], x_c, level.dof_shape))
+        from ..smoothers.sap import sap_smooth_from
+        buf = sap_smooth_from(s, data[depth]["colors"], tv, buf,
+                              cycles=level.cfg.post_smooth_iter,
+                              block_iter=level.cfg.block_iter,
+                              odd_even=(depth == 0 and cfg.odd_even))
+        return buf * (1.0 / jnp.sqrt(cplx.norm2(buf)))
+
+    def _inv_iter_2lvl(self, level: MGLevel, setup_iter: int):
+        if self._2lvl_jit is None:
+            self._2lvl_jit = jax.jit(self._twolevel_update_one,
+                                     static_argnames=("depth",))
+        for _k in range(setup_iter):
+            for i in range(level.cfg.num_test_vectors):
+                tv = self._2lvl_jit(self._level_data(), level.depth,
+                                    level.test_vectors[i])
+                level.test_vectors = level.test_vectors.at[i].set(tv)
+            self.re_setup(level, depth_only=True)
+        if not level.next.is_coarsest:
+            self._inv_iter_2lvl(level.next, setup_iter)
+
     def _gram_schmidt(self, tvs):
         n = tvs.shape[0]
         mat = cplx.moveaxis(tvs.reshape(n, -1), 0, -1)  # [vol, N]
@@ -451,6 +546,9 @@ class Multigrid:
         lat = self.fine.geom.lattice
         s = self.fine.stencil
         tvs = tvs.reshape(want, *lat, 4, 3)  # logical layout from file
+        if self.cfg.mesh is not None:
+            from .. import parallel
+            tvs = parallel.shard_stacked_field(self.cfg.mesh, tvs, lat)
         self.fine.test_vectors = cplx.stack(
             [s.from_logical(tvs[i]) for i in range(want)])
         self.re_setup(self.fine)
@@ -460,15 +558,24 @@ class Multigrid:
         from ..utils import device_get_complex
         return device_get_complex(self.fine.tvs_logical())
 
-    def re_setup(self, level: MGLevel):
+    def re_setup(self, level: MGLevel, depth_only: bool = False):
         """Rebuild P and the Galerkin operator from `level` downward
-        (re_setup_PRECISION)."""
+        (re_setup_PRECISION); depth_only rebuilds just this one coarsening
+        (the mode-1 setup's per-level rebuild, src/setup_generic.c:373-390)."""
+        mesh = self.cfg.mesh
         lvl = level
         while lvl is not None and not lvl.is_coarsest:
             lvl.P = build_interpolation(lvl.agg, lvl.tvs_logical())
+            if mesh is not None:
+                from .. import parallel
+                lvl.P = parallel.shard_interpolation(mesh, lvl.P,
+                                                     lvl.agg.coarse_lattice)
             cop = build_coarse_operator(lvl.operator_for_galerkin(), lvl.agg, lvl.P)
             nxt = lvl.next
             nxt.stencil = CoarseStencil.build(cop, nxt.geom)
             if nxt.smoother is not None:
                 nxt.smoother.replace_stencil(nxt.stencil)
+            self._shard_level(nxt)
+            if depth_only:
+                break
             lvl = nxt

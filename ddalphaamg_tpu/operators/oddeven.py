@@ -52,7 +52,7 @@ class OddEvenOperator(NamedTuple):
     def from_wilson(cls, op: WilsonOperator) -> "OddEvenOperator":
         rdtype = op.links.re.dtype if cplx.is_split(op.links) else op.links.real.dtype
         even, odd = parity_masks(op.lattice, dtype=rdtype)
-        cinv = cplx.inv(op.clover)
+        cinv = cplx.herm_inv(op.clover)
         return cls(op.links, op.clover, cinv, even, odd)
 
     @property

@@ -110,7 +110,7 @@ class WilsonStencil(_LogicalLayout):
         links_intra = op.links * jnp.asarray(_link_intra_mask(geom), dtype=rdtype)
         even, odd = parity_masks(geom.lattice, dtype=rdtype)
         return cls(links=op.links, clover=op.clover, links_intra=links_intra,
-                   clover_inv=cplx.inv(op.clover), even=even, odd=odd, geom=geom)
+                   clover_inv=cplx.herm_inv(op.clover), even=even, odd=odd, geom=geom)
 
     @property
     def dtype(self):
@@ -166,6 +166,9 @@ class CoarseStencil(_LogicalLayout):
         return cls(A=cop.A, Df=cop.Df, Db=cop.Db,
                    Df_intra=cop.Df * jnp.asarray(fwd, dtype=rdtype),
                    Db_intra=cop.Db * jnp.asarray(bwd, dtype=rdtype),
+                   # LU-factored inverse (jnp.linalg.inv = batched LU with
+                   # partial pivoting; reference coarse self-coupling LU,
+                   # src/coarse_oddeven_generic.c:24-75, pivots not at all)
                    A_inv=cplx.inv(cop.A),
                    even=even[..., 0, :], odd=odd[..., 0, :], geom=geom)
 
@@ -264,7 +267,7 @@ class WilsonStencilSoA:
             links=links,
             links_intra=fast.links_to_soa(intra),
             clover=clover,
-            clover_inv=fast.clover_to_soa(cplx.inv(op.clover)),
+            clover_inv=fast.clover_to_soa(cplx.herm_inv(op.clover)),
             cdiag=cdiag, coff=coff,
             even=fast.lattice_mask_to_soa(par, rdtype),
             odd=fast.lattice_mask_to_soa(1.0 - par, rdtype),

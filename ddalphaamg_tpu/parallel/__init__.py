@@ -27,15 +27,27 @@ from .mesh import (
     make_solver_mesh,
     shard_operator,
     shard_spinor,
+    shard_links,
     replicate,
+    shard_stencil,
+    shard_stacked_field,
+    replicate_stencil,
+    shard_field,
+    shard_interpolation,
+    site_spec,
+    soa_spec,
     SPINOR_SPEC,
     LINKS_SPEC,
     CLOVER_SPEC,
+    SOA_SPINOR_SPEC,
 )
 from .halo import dslash_shmap, halo_exchange_shift
 
 __all__ = [
     "factor_devices", "make_solver_mesh", "shard_operator", "shard_spinor",
-    "replicate", "SPINOR_SPEC", "LINKS_SPEC", "CLOVER_SPEC",
+    "shard_links", "replicate", "shard_stencil", "replicate_stencil",
+    "shard_field", "shard_stacked_field", "shard_interpolation",
+    "site_spec", "soa_spec",
+    "SPINOR_SPEC", "LINKS_SPEC", "CLOVER_SPEC", "SOA_SPINOR_SPEC",
     "dslash_shmap", "halo_exchange_shift",
 ]

@@ -74,6 +74,11 @@ def shard_spinor(mesh: Mesh, phi, spec: P = SPINOR_SPEC):
     return _put(phi, NamedSharding(mesh, spec))
 
 
+def shard_links(mesh: Mesh, U):
+    """Shard a raw gauge field [4,T,Z,Y,X,3,3] over the mesh."""
+    return _put(U, NamedSharding(mesh, LINKS_SPEC))
+
+
 def shard_operator(mesh: Mesh, op):
     """Shard a WilsonOperator's links/clover over the mesh."""
     return type(op)(
@@ -86,3 +91,120 @@ def replicate(mesh: Mesh, x):
     """Replicated sharding -- the coarse-level 'gathering' analog: the tiny
     coarse problem lives redundantly on every device (SURVEY 2.14.4)."""
     return _put(x, NamedSharding(mesh, P()))
+
+
+# ---------------------------------------------------------------------------
+# production hierarchy sharding (reference: the operator/vector distribution
+# that cart_define + ghost_alloc + gathering_PRECISION_setup establish,
+# src/ghost.c:47, src/gathering_generic.c:44-209)
+# ---------------------------------------------------------------------------
+
+# SoA fast-path layouts fuse M = Y*X into one minor axis (operators/fast.py),
+# so SoA fields shard along t/z only; meshes with y/x extents > 1 must use
+# the logical layout at depth 0.
+SOA_SPINOR_SPEC = P(None, None, "t", "z", None)
+
+
+def site_spec(mesh: Mesh, lattice, lead: int = 0, trail: int = 0) -> P:
+    """PartitionSpec for an array [(lead dims), T, Z, Y, X, (trail dims)].
+    Lattice dims not divisible by their mesh extent stay replicated."""
+    names = [ax if lattice[mu] % mesh.shape[ax] == 0 and mesh.shape[ax] > 1
+             else None for mu, ax in enumerate(AXES)]
+    return P(*([None] * lead + names + [None] * trail))
+
+
+def soa_spec(mesh: Mesh, lattice, lead: int = 0) -> P:
+    """PartitionSpec for an SoA array [(lead dims), T, Z, M]."""
+    names = [ax if lattice[mu] % mesh.shape[ax] == 0 and mesh.shape[ax] > 1
+             else None for mu, ax in enumerate(AXES[:2])]
+    return P(*([None] * lead + names + [None]))
+
+
+def shard_stencil(mesh: Mesh, s):
+    """Shard a level stencil's fields over the mesh (4D domain
+    decomposition).  Returns a stencil of the same type.  For coarse levels
+    pass `replicated=True` via replicate_stencil instead."""
+    import dataclasses
+    from ..operators.stencil import (CoarseStencil, WilsonStencil,
+                                     WilsonStencilSoA)
+    lat = s.geom.lattice
+
+    def put(x, spec):
+        return _put(x, NamedSharding(mesh, spec))
+
+    if isinstance(s, WilsonStencilSoA):
+        if mesh.shape["y"] > 1 or mesh.shape["x"] > 1:
+            raise ValueError(
+                "SoA fine layout fuses Y*X; use fine_layout='logical' for "
+                f"meshes with y/x extents > 1 (mesh {dict(mesh.shape)})")
+        return dataclasses.replace(
+            s,
+            links=put(s.links, soa_spec(mesh, lat, lead=3)),
+            links_intra=put(s.links_intra, soa_spec(mesh, lat, lead=3)),
+            clover=put(s.clover, soa_spec(mesh, lat, lead=3)),
+            clover_inv=put(s.clover_inv, soa_spec(mesh, lat, lead=3)),
+            cdiag=put(s.cdiag, soa_spec(mesh, lat, lead=2)),
+            coff=put(s.coff, soa_spec(mesh, lat, lead=2)),
+            even=put(s.even, soa_spec(mesh, lat)),
+            odd=put(s.odd, soa_spec(mesh, lat)),
+        )
+    if isinstance(s, WilsonStencil):
+        return dataclasses.replace(
+            s,
+            links=put(s.links, site_spec(mesh, lat, lead=1, trail=2)),
+            links_intra=put(s.links_intra, site_spec(mesh, lat, lead=1, trail=2)),
+            clover=put(s.clover, site_spec(mesh, lat, trail=3)),
+            clover_inv=put(s.clover_inv, site_spec(mesh, lat, trail=3)),
+            even=put(s.even, site_spec(mesh, lat, trail=2)),
+            odd=put(s.odd, site_spec(mesh, lat, trail=2)),
+        )
+    if isinstance(s, CoarseStencil):
+        return dataclasses.replace(
+            s,
+            A=put(s.A, site_spec(mesh, lat, trail=2)),
+            Df=put(s.Df, site_spec(mesh, lat, lead=1, trail=2)),
+            Db=put(s.Db, site_spec(mesh, lat, lead=1, trail=2)),
+            Df_intra=put(s.Df_intra, site_spec(mesh, lat, lead=1, trail=2)),
+            Db_intra=put(s.Db_intra, site_spec(mesh, lat, lead=1, trail=2)),
+            A_inv=put(s.A_inv, site_spec(mesh, lat, trail=2)),
+            even=put(s.even, site_spec(mesh, lat, trail=1)),
+            odd=put(s.odd, site_spec(mesh, lat, trail=1)),
+        )
+    raise TypeError(type(s))
+
+
+def replicate_stencil(mesh: Mesh, s):
+    """Fully replicate a (coarse) stencil -- the coarsest-level 'gathering'
+    analog: every device redundantly holds and solves the tiny problem."""
+    import dataclasses
+    fields = {f.name: replicate(mesh, getattr(s, f.name))
+              for f in dataclasses.fields(s)
+              if f.name != "geom" and getattr(s, f.name) is not None
+              and not isinstance(getattr(s, f.name), (bool, str, int, float))}
+    return dataclasses.replace(s, **fields)
+
+
+def shard_field(mesh: Mesh, v, lattice, soa: bool = False):
+    """Shard a level field: logical [T,Z,Y,X,dof...] or SoA [dof..,T,Z,M]."""
+    if soa:
+        nd = (v.re.ndim if cplx.is_split(v) else v.ndim)
+        return _put(v, NamedSharding(mesh, soa_spec(mesh, lattice, lead=nd - 3)))
+    nd = (v.re.ndim if cplx.is_split(v) else v.ndim)
+    return _put(v, NamedSharding(mesh, site_spec(mesh, lattice, trail=nd - 4)))
+
+
+def shard_stacked_field(mesh: Mesh, tvs, lattice, soa: bool = False):
+    """Shard a stack of level fields [N, field...] (e.g. test vectors)."""
+    nd = (tvs.re.ndim if cplx.is_split(tvs) else tvs.ndim)
+    if soa:
+        spec = soa_spec(mesh, lattice, lead=nd - 3)
+    else:
+        spec = site_spec(mesh, lattice, lead=1, trail=nd - 5)
+    return _put(tvs, NamedSharding(mesh, spec))
+
+
+def shard_interpolation(mesh: Mesh, Pmat, coarse_lattice):
+    """P [Tc,Zc,Yc,Xc, 2, m, N]: shard over coarse-site dims (aggregates are
+    sharding-aligned with the fine field when coarsening divides the local
+    extent), replicating any non-divisible dim."""
+    return _put(Pmat, NamedSharding(mesh, site_spec(mesh, coarse_lattice, trail=3)))

@@ -115,4 +115,109 @@ class Profiler:
         return "\n".join(lines)
 
 
+def profile_hierarchy(mg, reps: int = 5, seed: int = 0) -> Profiler:
+    """Per-level, per-kernel-class timing of a Multigrid hierarchy
+    (reference prof_print table, src/init_generic.c:84-96 /
+    src/solver_analysis.c:65-89).
+
+    The production cycle runs as ONE traced device program, so host timers
+    cannot see inside it; instead each kernel class (operator apply,
+    smoother, P/P^H, coarsest solve, whole cycle) is timed standalone as its
+    own jitted program on representative data.  Flop columns use the
+    reference's analytic models (src/init_generic.c:58-68)."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from . import cplx
+    from .mg.interpolation import interpolate, restrict
+
+    prof = Profiler(enabled=True)
+    rng = np.random.default_rng(seed)
+
+    def rand_field(lvl):
+        shape = lvl.stencil.field_shape
+        rdtype = np.zeros((), np.dtype(mg.cfg.dtype)).real.dtype
+        re = jnp.asarray(rng.normal(size=shape), dtype=rdtype)
+        im = jnp.asarray(rng.normal(size=shape), dtype=rdtype)
+        if mg._split:
+            return cplx.CArray(re, im)
+        return jax.lax.complex(re, im).astype(mg.cfg.dtype)
+
+    def timeit(fn, *args):
+        out = fn(*args)            # compile + warmup
+        jax.block_until_ready(out)
+        t0 = _time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (_time.perf_counter() - t0) / reps
+
+    levels = mg._levels()
+    for lvl in levels:
+        vol = int(np.prod(lvl.geom.lattice))
+        v = rand_field(lvl)
+        if lvl.depth == 0:
+            op_flops = FLOPS_FINE_FULL * vol
+        else:
+            n2 = lvl.stencil.field_shape[-1]
+            op_flops = (flops_coarse_self(n2) + flops_coarse_neighbor(n2)) * vol
+        dt = timeit(jax.jit(lvl.stencil.full_op), v)
+        prof.add("op_apply", lvl.depth, dt, op_flops)
+
+        if lvl.smoother is not None:
+            from .smoothers.sap import sap_smooth
+            sm = lvl.smoother
+            dt = timeit(lambda w: sap_smooth(sm.s, sm.colors, w, sm.cycles,
+                                             sm.block_iter, sm.odd_even), v)
+            # reference SAP flop model (src/init_generic.c:63-68)
+            prof.add("smoother (SAP)", lvl.depth, dt,
+                     op_flops * (sm.block_iter + 2) * sm.cycles)
+
+        if lvl.agg is not None and lvl.P is not None:
+            n = lvl.agg.num_vectors
+            pt_flops = 8 * lvl.agg.m * n * 2 * int(np.prod(lvl.agg.coarse_lattice))
+            s = lvl.stencil
+            dt = timeit(jax.jit(
+                lambda w: restrict(lvl.agg, lvl.P, s.to_logical(w))), v)
+            prof.add("restrict (P^H)", lvl.depth, dt, pt_flops)
+            vc = rand_field(lvl.next)   # coarse fields are already logical
+            dt = timeit(jax.jit(
+                lambda w: s.from_logical(
+                    interpolate(lvl.agg, lvl.P, w, lvl.dof_shape))), vc)
+            prof.add("interpolate (P)", lvl.depth, dt, pt_flops)
+
+        if lvl.is_coarsest and lvl.depth > 0:
+            b = rand_field(lvl)
+            fn = jax.jit(lambda w: mg._coarsest_solve_traced(
+                lvl.stencil, lvl.geom, w, mg.cfg.coarse_tol)[0])
+            dt = timeit(fn, b)
+            prof.add("coarsest solve (OE-GCR)", lvl.depth, dt, 0.0)
+
+    # the whole traced preconditioner cycle (one dispatch)
+    eta = rand_field(levels[0])
+    eta_log = levels[0].stencil.to_logical(eta)
+    dt = timeit(lambda w: mg._run_cycle(w)[0], eta_log)
+    prof.add("FULL CYCLE (traced)", 0, dt, 0.0)
+    return prof
+
+
+def hbm_highwater_mb() -> float:
+    """Device-memory high-water mark in MiB (reference memory accounting:
+    MALLOC macros tracking g.max_storage, src/main.h:88-140, printed in the
+    solve summary src/linsolve_generic.c:371).  0.0 when the backend does
+    not expose allocator stats (CPU)."""
+    try:
+        import jax
+        stats = jax.local_devices()[0].memory_stats()
+        if stats:
+            peak = stats.get("peak_bytes_in_use", stats.get("bytes_in_use", 0))
+            return float(peak) / 2**20
+    except Exception:
+        pass
+    return 0.0
+
+
 PROF = Profiler(enabled=bool(os.environ.get("DDAAMG_PROFILE")))

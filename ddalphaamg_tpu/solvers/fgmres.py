@@ -356,21 +356,26 @@ def fgmres_mp(
                 V = V.at[j + 1].set(w * (1.0 / hnorm))
             j_used = j
 
-            if abs(H[j + 1, j]) <= tol / 10:
-                converged = True
-                break
+            # happy breakdown: still run the pending Givens rotations below
+            # so the back-substitution sees a consistent upper-triangular
+            # column j (H[j+1,j]~0 makes the new rotation a near-identity)
+            happy = abs(H[j + 1, j]) <= tol / 10
 
             for i in range(j):
                 beta = -sn[i] * H[i, j] + cs[i] * H[i + 1, j]
                 H[i, j] = np.conj(cs[i]) * H[i, j] + np.conj(sn[i]) * H[i + 1, j]
                 H[i + 1, j] = beta
             beta = np.sqrt(abs(H[j, j]) ** 2 + abs(H[j + 1, j]) ** 2)
-            sn[j] = H[j + 1, j] / beta
-            cs[j] = H[j, j] / beta
-            gamma[j + 1] = -sn[j] * gamma[j]
-            gamma[j] = np.conj(cs[j]) * gamma[j]
-            H[j, j] = beta
-            H[j + 1, j] = 0.0
+            if beta > 0:
+                sn[j] = H[j + 1, j] / beta
+                cs[j] = H[j, j] / beta
+                gamma[j + 1] = -sn[j] * gamma[j]
+                gamma[j] = np.conj(cs[j]) * gamma[j]
+                H[j, j] = beta
+                H[j + 1, j] = 0.0
+            if happy:
+                converged = True
+                break
 
             rel = abs(gamma[j + 1]) / norm_r0
             resvec.append(rel)

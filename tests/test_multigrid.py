@@ -78,6 +78,25 @@ def test_coarse_gamma5_hermiticity(op4, agg, P):
     assert abs(lhs - rhs) / abs(lhs) < 1e-11
 
 
+def test_interpolation_mode1_setup(op4):
+    """interpolation: 1 (inv_iter_2lvl_extension_setup,
+    src/setup_generic.c:324-416): the two-level-extension adaptive setup
+    converges the 4^4 solve within a pinned iteration budget."""
+    cfg = MGConfig(levels=[
+        LevelConfig(lattice=LAT, block=(2, 2, 2, 2), post_smooth_iter=2,
+                    block_iter=4, num_test_vectors=8, setup_iter=2),
+        LevelConfig(lattice=(2, 2, 2, 2), block=(1, 1, 1, 1)),
+    ])
+    mg = Multigrid(op4, cfg)
+    mg.twolevel_extension_setup()
+    b = jnp.ones((*LAT, 4, 3), dtype=complex)
+    res = fgmres(lambda v: wilson.d_plus_clover(op4, v), b,
+                 preconditioner=mg, tol=1e-10, restart_length=50,
+                 max_restarts=20)
+    assert res.converged
+    assert res.iterations <= 16, res.iterations
+
+
 @pytest.mark.slow
 def test_two_level_iteration_parity(op4):
     """Ground truth (tests/ground_truth/4x4_2lvl_boot.log): 11 iterations.

@@ -61,6 +61,80 @@ def test_gspmd_dslash_matches_single(op8, mesh):
     np.testing.assert_allclose(got, want, atol=1e-11)
 
 
+INI_4_MG = """
+d0 global lattice: 4 4 4 4
+d0 block lattice: 2 2 2 2
+d0 post smooth iter: 2
+d0 block iter: 4
+d0 test vectors: 8
+d0 setup iter: 2
+number of levels: 2
+method: 2
+interpolation: 2
+mixed precision: 1
+odd even preconditioning: 1
+kcycle: 1
+m0: -0.5
+csw: 1.0
+tolerance for relative residual: 1e-10
+iterations between restarts: 50
+maximum of restarts: 20
+right hand side: 0
+"""
+
+
+def test_production_mg_mesh_parity(conf4):
+    """The PRODUCTION api.Solver stack (sharded hierarchy, bootstrap
+    F-cycle, traced cycles, outer FGMRES) on the virtual 8-device mesh:
+    iteration count and solution equal to the single-device solve
+    (VERDICT r1 item 1; reference ghost_generic.c:171-345 +
+    gathering_generic.c:44-209 integration analog)."""
+    from ddalphaamg_tpu import api, config
+
+    p = config.parse_ini(INI_4_MG)
+    p.configuration = conf4
+    s1 = api.Solver(p)
+    s1.read_conf()
+    s1.setup()
+    x1, i1 = s1.solve()
+    assert i1.converged
+
+    mesh8 = parallel.make_solver_mesh(8, lattice=(4, 4, 4, 4))
+    s8 = api.Solver(p, mesh=mesh8)
+    s8.read_conf()
+    s8.setup()
+    x8, i8 = s8.solve()
+    assert i8.converged
+    assert abs(i8.iterations - i1.iterations) <= 1, (i1.iterations, i8.iterations)
+    np.testing.assert_allclose(np.asarray(x8), np.asarray(x1), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_production_mg_mesh_8x8_3level(conf8):
+    """8^4 3-level hierarchy (sample.ini geometry, reduced setup budget for
+    CI time) on the virtual 8-device mesh vs single device."""
+    from ddalphaamg_tpu import api, config
+
+    p = config.parse_ini("/root/reference/sample.ini")
+    p.configuration = conf8
+    for d in p.depth:
+        d.test_vectors = min(d.test_vectors, 8)
+        d.setup_iter = min(d.setup_iter, 2)
+    s1 = api.Solver(p)
+    s1.read_conf()
+    s1.setup()
+    x1, i1 = s1.solve()
+    assert i1.converged
+
+    mesh8 = parallel.make_solver_mesh(8, lattice=(8, 8, 8, 8))
+    s8 = api.Solver(p, mesh=mesh8)
+    s8.read_conf()
+    s8.setup()
+    x8, i8 = s8.solve()
+    assert i8.converged
+    assert abs(i8.iterations - i1.iterations) <= 1, (i1.iterations, i8.iterations)
+
+
 def test_sharded_solve_iteration_parity(op8, mesh):
     """A sharded plain-FGMRES solve takes the same iterations as the
     single-device solve (the Krylov recurrence is arithmetic-identical up
