@@ -1,22 +1,29 @@
 #!/usr/bin/env python
-"""Headline benchmark: Wilson-clover Dslash throughput on one chip.
+"""Headline benchmarks on one chip:
+  1. Wilson-clover Dslash throughput (fused Pallas kernel)
+  2. End-to-end multigrid solve to relative residual 1e-10 on a 16^4
+     lattice (production api.Solver path: bootstrap setup + device-restart
+     outer loop with the double-float true residual)
 
 Prints ONE JSON line:
-  {"metric": "dslash_gflops", "value": N, "unit": "GFLOP/s", "vs_baseline": R}
+  {"metric": "dslash_gflops", "value": N, "unit": "GFLOP/s",
+   "vs_baseline": R, "detail": {... incl. mg_solve_seconds ...}}
 
-Kernel: the fused Pallas Dslash (operators/pallas_dslash.py) in split-complex
-SoA layout.  Flop model is the reference's analytic count: 1920 flop/site
-(552 clover + 1368 hopping, src/init_generic.c:58-60).
+Flop model: reference analytic counts (1920 flop/site = 552 clover + 1368
+hopping, src/init_generic.c:58-60).  vs_baseline is measured GFLOP/s over
+the BASELINE.md target of 70% of the single-chip HBM roofline, with the
+roofline computed from the *measured* streaming bandwidth AND the bytes the
+kernel actually touches (packed 42-real-entry clover storage,
+src/operator_generic.c:84-90):
+  packed bytes/site = 288 (links) + 288 (packed clover) + 192 (in+out) = 768
+The dense-clover model (1056 B/site) is reported alongside for reference.
 
-vs_baseline is measured GFLOP/s over the BASELINE.md target of 70% of the
-single-chip HBM roofline for this operator, where the roofline uses the
-*measured* streaming bandwidth of this chip (a 3-array elementwise stream),
-not a spec-sheet number:
-  bytes/site = 4*9*8 (links) + 2*36*8 (clover) + 2*12*8 (in+out) = 1056 B
-  roofline   = BW_meas * 1920 / 1056;   target = 0.7 * roofline.
-(The Pallas kernel stores the clover packed at the reference's 42-entry
-count, src/operator_generic.c:84-90, so it can legitimately exceed the
-1056-byte-model roofline.)
+The solve benchmark mirrors the reference's per-solve summary
+(src/linsolve_generic.c:363-374): setup time, solve wall time, iterations,
+coarse-iteration average, true (double-float-verified) relative residual,
+and an estimated coarse-time fraction.  Reference comparison point: 6.43 s
+for the 8^4 3-level sample.ini solve on one CPU core
+(tests/ground_truth/8x8_3lvl_sample.log); 16^4 has 16x the sites.
 
 Timing notes for this environment: the device relay can complete
 block_until_ready without the computation having run, so every timed
@@ -38,8 +45,12 @@ import numpy as np
 
 LAT = (16, 16, 16, 16)
 CHAIN = 1200
-BYTES_PER_SITE = 4 * 9 * 8 + 2 * 36 * 8 + 2 * 12 * 8  # 1056, reference model
+BYTES_PER_SITE_DENSE = 4 * 9 * 8 + 2 * 36 * 8 + 2 * 12 * 8    # 1056
+BYTES_PER_SITE_PACKED = 4 * 9 * 8 + (2 * 6 * 4 + 2 * 15 * 8) + 2 * 12 * 8  # 768
 FLOPS_PER_SITE = 1920
+
+SOLVE_LAT = (16, 16, 16, 16)
+SOLVE_TOL = 1e-10
 
 
 def _timed_fetch(fn, *args):
@@ -79,7 +90,7 @@ def measure_stream_bw():
     return 3 * (n * 4) * iters / best / 1e9
 
 
-def main():
+def bench_dslash():
     from ddalphaamg_tpu import cplx, gauge
     from ddalphaamg_tpu.operators import fast, pallas_dslash, wilson
 
@@ -122,24 +133,147 @@ def main():
     gflops = FLOPS_PER_SITE * sites / (ms * 1e-3) / 1e9
 
     bw = measure_stream_bw()
-    roofline = bw * FLOPS_PER_SITE / BYTES_PER_SITE
-    target = 0.7 * roofline
+    roofline_packed = bw * FLOPS_PER_SITE / BYTES_PER_SITE_PACKED
+    roofline_dense = bw * FLOPS_PER_SITE / BYTES_PER_SITE_DENSE
+    target = 0.7 * roofline_packed
+    return {
+        "gflops": gflops,
+        "vs_target": gflops / target,
+        "platform": platform,
+        "ms_per_apply": ms,
+        "measured_stream_gbs": bw,
+        "roofline_gflops_packed": roofline_packed,
+        "roofline_gflops_dense": roofline_dense,
+        "target_gflops": target,
+    }
+
+
+def smooth_su3(lattice, seed=0, eps=0.25):
+    """Near-free SU(3) configuration (host, complex128): QR-project
+    I + eps*Gaussian.  Smooth enough that m0=-0.5 is well conditioned,
+    reproducible by seed."""
+    rng = np.random.default_rng(seed)
+    shape = (4, *lattice, 3, 3)
+    g = np.eye(3) + eps * (rng.normal(size=shape) + 1j * rng.normal(size=shape))
+    q, r = np.linalg.qr(g)
+    d = np.einsum("...ii->...i", r)
+    q = q * np.conj(d / np.abs(d))[..., None, :]
+    det = np.linalg.det(q)
+    return q * np.conj(det ** (1.0 / 3.0))[..., None, None]
+
+
+def bench_mg_solve():
+    """Production end-to-end solve: setup + solve to 1e-10 on SOLVE_LAT."""
+    from ddalphaamg_tpu import api, config
+
+    p = config.SolverParams(num_levels=2, tol=SOLVE_TOL,
+                            restart_length=50, max_restarts=20,
+                            right_hand_side="random", seed=5)
+    p.depth = [config.DepthParams(global_lattice=SOLVE_LAT,
+                                  block_lattice=(2, 2, 2, 2),
+                                  test_vectors=12, setup_iter=1,
+                                  post_smooth_iter=2, block_iter=4)]
+    solver = api.Solver(p)
+    U = smooth_su3(SOLVE_LAT, seed=0)
+    solver.set_conf(U, links_have_bc=True)
+
+    t0 = time.perf_counter()
+    solver.setup()
+    setup_s = time.perf_counter() - t0
+
+    rhs = config.make_rhs("random", SOLVE_LAT, seed=5)
+    x, info = solver.solve(rhs)           # cold (includes outer compiles)
+    cold_s = info.solve_time
+    x, info = solver.solve(rhs)           # warm
+    exact = solver.true_residual(x, rhs)
+    print(f"# mg_solve: setup {setup_s:.1f}s cold {cold_s:.1f}s warm "
+          f"{info.solve_time:.2f}s iters {info.iterations} "
+          f"exact relres {exact:.2e}", file=sys.stderr)
+
+    # coarse-time fraction estimate: whole traced cycle vs depth-0 pieces
+    coarse_frac = None
+    try:
+        import jax as _jax
+        from ddalphaamg_tpu.smoothers.sap import sap_smooth_from
+        from ddalphaamg_tpu.utils import device_put_complex
+        mg = solver.mg
+        lvl = mg._levels()[0]
+        eta_log = device_put_complex(np.asarray(rhs))
+
+        def timeit(fn, *args, n=3):
+            out = fn(*args)
+            _jax.block_until_ready(out)
+            ts = []
+            for _ in range(n):
+                t0 = time.perf_counter()
+                out = fn(*args)
+                _jax.block_until_ready(out)
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        t_cycle = timeit(lambda v: mg._run_cycle(v)[0], eta_log)
+        v0 = lvl.stencil.from_logical(
+            device_put_complex(np.asarray(rhs), split=mg._split))
+        sm = lvl.smoother
+        t_sm = timeit(lambda v: sap_smooth_from(
+            sm.s, sm.colors, v, v, lvl.cfg.post_smooth_iter,
+            sm.block_iter, sm.odd_even), v0)
+        t_op = timeit(_jax.jit(lvl.stencil.full_op), v0)
+        fine_t = lvl.cfg.n_cy * (t_sm + 2 * t_op)
+        coarse_frac = max(0.0, min(1.0, (t_cycle - fine_t) / t_cycle))
+    except Exception as e:
+        print(f"# coarse-fraction estimate failed: {e}", file=sys.stderr)
+
+    sites = int(np.prod(SOLVE_LAT))
+    ref_sites = 8 ** 4
+    ref_solve_s = 6.43  # reference 8^4 3-level, 1 CPU core (ground truth log)
+    scaled_ref = ref_solve_s * sites / ref_sites
+    out = {
+        "mg_solve_seconds": round(info.solve_time, 3),
+        "mg_solve_cold_seconds": round(cold_s, 3),
+        "mg_setup_seconds": round(setup_s, 1),
+        "mg_iterations": info.iterations,
+        "mg_coarse_average": round(info.coarse_average, 2),
+        "mg_exact_relres": float(f"{exact:.3e}"),
+        "mg_converged": bool(info.converged and exact < 2 * SOLVE_TOL),
+        "mg_lattice": list(SOLVE_LAT),
+        "mg_levels": 2,
+        "mg_memory_mb": round(info.memory_mb, 1),
+        "ref_scaled_solve_seconds": round(scaled_ref, 1),
+        "mg_vs_ref_scaled": round(scaled_ref / max(info.solve_time, 1e-9), 2),
+    }
+    if coarse_frac is not None:
+        out["mg_coarse_time_fraction"] = round(coarse_frac, 3)
+    return out
+
+
+def main():
+    d = bench_dslash()
+    detail = {
+        "lattice": list(LAT),
+        "kernel": "pallas-fused",
+        "layout": "soa-split-f32",
+        "platform": d["platform"],
+        "ms_per_apply": round(d["ms_per_apply"], 4),
+        "measured_stream_gbs": round(d["measured_stream_gbs"], 1),
+        "roofline_gflops_packed": round(d["roofline_gflops_packed"], 1),
+        "roofline_gflops_dense": round(d["roofline_gflops_dense"], 1),
+        "target_gflops": round(d["target_gflops"], 1),
+    }
+    if not os.environ.get("DDAAMG_BENCH_DSLASH_ONLY"):
+        try:
+            detail.update(bench_mg_solve())
+        except Exception as e:
+            import traceback
+            traceback.print_exc(file=sys.stderr)
+            detail["mg_solve_error"] = repr(e)[:200]
 
     out = {
         "metric": "dslash_gflops",
-        "value": round(gflops, 1),
+        "value": round(d["gflops"], 1),
         "unit": "GFLOP/s",
-        "vs_baseline": round(gflops / target, 3),
-        "detail": {
-            "lattice": list(LAT),
-            "kernel": "pallas-fused",
-            "layout": "soa-split-f32",
-            "platform": platform,
-            "ms_per_apply": round(ms, 4),
-            "measured_stream_gbs": round(bw, 1),
-            "roofline_gflops": round(roofline, 1),
-            "target_gflops": round(target, 1),
-        },
+        "vs_baseline": round(d["vs_target"], 3),
+        "detail": detail,
     }
     print(json.dumps(out))
 

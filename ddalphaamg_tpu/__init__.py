@@ -19,6 +19,20 @@ import jax
 if not os.environ.get("DDAAMG_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compilation cache: the solver stack compiles ~15 device
+# programs (traced cycles, setup kernels, df outer loop); on a remote-compile
+# TPU relay that is minutes of fixed cost per process.  Measured: 4^4 setup
+# 198 s -> 63 s with a warm cache.  Opt out with DDAAMG_NO_COMPILE_CACHE=1.
+if not os.environ.get("DDAAMG_NO_COMPILE_CACHE"):
+    _cache_dir = (os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                  or os.path.expanduser("~/.cache/ddalphaamg_tpu/xla"))
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 from . import gamma, geometry, io, gauge  # noqa: E402
 from .operators import WilsonOperator, d_plus_clover, gamma5  # noqa: E402
 

@@ -405,6 +405,33 @@ class Solver:
             2, 3, 4, 5, 0, 1)
         return FGMRESResult(x_log, int(iters), relres, converged, resvec)
 
+    def true_residual(self, x, rhs) -> float:
+        """||rhs - D x|| / ||rhs|| against the f64-accurate operator (the
+        reference's FGMRES_RESTEST, src/linsolve_generic.c:351-356).  On
+        TPU the f32 operator apply floors this check at ~cond * 1e-7, so
+        the double-float operator is used instead."""
+        from .utils import host_array
+        b64 = np.asarray(rhs, np.complex128)
+        x64 = np.asarray(x, np.complex128)
+        if self._U_host is not None and default_split():
+            from .operators import dfloat as dfm
+            lat = self.lattice
+            t, z, y, x_ = lat
+            wdf, _ = self._wilson_df()
+            residual, _, _ = dfm.build_outer_fns(lat)
+
+            def to_soa64(a):
+                return np.transpose(a.reshape(*lat, 4, 3),
+                                    (4, 5, 0, 1, 2, 3)).reshape(4, 3, t, z, y * x_)
+
+            _, rn2 = residual(wdf, dfm.cdf_from64(to_soa64(b64)),
+                              dfm.cdf_from64(to_soa64(x64)))
+            hi, lo = host_array(rn2)
+            nr = float(np.sqrt(max(float(hi) + float(lo), 0.0)))
+            return nr / np.linalg.norm(b64)
+        r = b64 - device_get_complex(self.apply_operator(x64))
+        return float(np.linalg.norm(r) / np.linalg.norm(b64))
+
     def solve(self, rhs=None, tol: Optional[float] = None,
               x0=None) -> tuple[np.ndarray, SolveInfo]:
         """Solve D x = rhs (reference dd_alpha_amg_wilson_solve /

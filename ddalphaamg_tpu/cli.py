@@ -36,8 +36,6 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
 
     from . import api, config
-    from .operators.wilson import d_plus_clover
-    from .utils import device_get_complex, device_put_complex
 
     params = config.parse_ini(args.ini)
 
@@ -80,9 +78,8 @@ def main(argv=None):
         print(f"|      avg solve time: {np.mean(times):9.4f} seconds        |")
         print(f"|      min solve time: {np.min(times):9.4f} seconds        |")
 
-    r = np.asarray(rhs) - device_get_complex(
-        d_plus_clover(solver.op, device_put_complex(x)))
-    exact = np.linalg.norm(r) / np.linalg.norm(np.asarray(rhs))
+    # FGMRES_RESTEST analog: f64-accurate on CPU, double-float on TPU
+    exact = solver.true_residual(x, np.asarray(rhs))
     print("+----------------------------------------------------------+")
     print(f"|       FGMRES iterations: {info.iterations:<6d} coarse average: {info.coarse_average:<6.2f}   |")
     print(f"| exact relative residual: ||r||/||b|| = {exact:e}      |")

@@ -41,6 +41,35 @@ from .galerkin import build_coarse_operator
 from .interpolation import Aggregation, build_interpolation, interpolate, restrict
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("agg", "geom", "n"))
+def _resetup_kernel(stencil, op_galerkin, tvs, agg, geom, n: int):
+    """One coarsening rebuild as a single device program: test vectors ->
+    logical layout -> aggregate-QR interpolation -> Galerkin triple product
+    -> coarse stencil (incl. factorized inverses).  Eagerly this is
+    hundreds of tiny dispatches (fatal on a ~26 ms/dispatch TPU relay);
+    jitted it is one."""
+    tvs_log = cplx.stack([stencil.to_logical(tvs[i]) for i in range(n)])
+    P = build_interpolation(agg, tvs_log)
+    cop = build_coarse_operator(op_galerkin, agg, P)
+    return P, CoarseStencil.build(cop, geom)
+
+
+@jax.jit
+def _normalize(v):
+    return v * jax.lax.rsqrt(cplx.norm2(v))
+
+
+@jax.jit
+def _gram_schmidt_kernel(tvs):
+    n = tvs.shape[0]
+    mat = cplx.moveaxis(tvs.reshape(n, -1), 0, -1)  # [vol, N]
+    q = cplx.block_qr(mat, passes=1)
+    return cplx.moveaxis(q, -1, 0).reshape(*tvs.shape)
+
+
 @dataclasses.dataclass
 class LevelConfig:
     """Per-level parameters (reference ini `d<i> ...` keys)."""
@@ -202,13 +231,14 @@ class Multigrid:
                 prev.agg = agg
                 key, sub = jax.random.split(key)
                 prev.test_vectors = self._initial_test_vectors(levels[-1], sub)
-                prev.P = build_interpolation(agg, prev.tvs_logical())
+                prev.P, stencil = _resetup_kernel(
+                    prev.stencil, prev.operator_for_galerkin(),
+                    prev.test_vectors, agg, geom,
+                    prev.cfg.num_test_vectors)
                 if cfg.mesh is not None:
                     from .. import parallel
                     prev.P = parallel.shard_interpolation(
                         cfg.mesh, prev.P, agg.coarse_lattice)
-                cop = build_coarse_operator(prev.operator_for_galerkin(), agg, prev.P)
-                stencil = CoarseStencil.build(cop, geom)
             level = MGLevel(depth=d, geom=geom, cfg=lc, stencil=stencil,
                             galerkin_op=galerkin_op)
             if d < cfg.num_levels - 1:
@@ -249,8 +279,7 @@ class Multigrid:
             v = level.stencil.from_logical(tv[i])
             for ncy in (1, 2, 3):
                 v = level.smoother(v, cycles=ncy)
-            v = v * (1.0 / jnp.sqrt(cplx.norm2(v)))
-            out.append(v)
+            out.append(_normalize(v))
         return cplx.stack(out)
 
     # ------------------------------------------------------------------
@@ -488,10 +517,7 @@ class Multigrid:
             self._inv_iter_2lvl(level.next, setup_iter)
 
     def _gram_schmidt(self, tvs):
-        n = tvs.shape[0]
-        mat = cplx.moveaxis(tvs.reshape(n, -1), 0, -1)  # [vol, N]
-        q = cplx.block_qr(mat, passes=1)
-        return cplx.moveaxis(q, -1, 0).reshape(*tvs.shape)
+        return _gram_schmidt_kernel(tvs)
 
     def _setup_cycle(self, level: MGLevel, tv):
         """One traced cycle at `level` for the bootstrap (tv and result in
@@ -514,7 +540,7 @@ class Multigrid:
             new_tvs = []
             for i in range(level.cfg.num_test_vectors):
                 x, collect = self._setup_cycle(level, level.test_vectors[i])
-                new_tvs.append(x * (1.0 / jnp.sqrt(cplx.norm2(x))))
+                new_tvs.append(_normalize(x))
                 # update coarser-level test vectors from the cycle's coarse
                 # solutions (test_vector_PRECISION_update)
                 lvl = level.next
@@ -522,7 +548,7 @@ class Multigrid:
                     if lvl.depth in collect and lvl.test_vectors is not None:
                         xc = collect[lvl.depth]
                         lvl.test_vectors = lvl.test_vectors.at[i].set(
-                            xc * (1.0 / jnp.sqrt(cplx.norm2(xc))))
+                            _normalize(xc))
                     lvl = lvl.next
             level.test_vectors = cplx.stack(new_tvs)
             self.re_setup(level)
@@ -565,14 +591,14 @@ class Multigrid:
         mesh = self.cfg.mesh
         lvl = level
         while lvl is not None and not lvl.is_coarsest:
-            lvl.P = build_interpolation(lvl.agg, lvl.tvs_logical())
+            nxt = lvl.next
+            lvl.P, nxt.stencil = _resetup_kernel(
+                lvl.stencil, lvl.operator_for_galerkin(), lvl.test_vectors,
+                lvl.agg, nxt.geom, lvl.cfg.num_test_vectors)
             if mesh is not None:
                 from .. import parallel
                 lvl.P = parallel.shard_interpolation(mesh, lvl.P,
                                                      lvl.agg.coarse_lattice)
-            cop = build_coarse_operator(lvl.operator_for_galerkin(), lvl.agg, lvl.P)
-            nxt = lvl.next
-            nxt.stencil = CoarseStencil.build(cop, nxt.geom)
             if nxt.smoother is not None:
                 nxt.smoother.replace_stencil(nxt.stencil)
             self._shard_level(nxt)

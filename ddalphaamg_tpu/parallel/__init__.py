@@ -42,6 +42,7 @@ from .mesh import (
     SOA_SPINOR_SPEC,
 )
 from .halo import dslash_shmap, halo_exchange_shift
+from .soa_halo import soa_dslash_shmap
 
 __all__ = [
     "factor_devices", "make_solver_mesh", "shard_operator", "shard_spinor",
@@ -49,5 +50,5 @@ __all__ = [
     "shard_field", "shard_stacked_field", "shard_interpolation",
     "site_spec", "soa_spec",
     "SPINOR_SPEC", "LINKS_SPEC", "CLOVER_SPEC", "SOA_SPINOR_SPEC",
-    "dslash_shmap", "halo_exchange_shift",
+    "dslash_shmap", "halo_exchange_shift", "soa_dslash_shmap",
 ]

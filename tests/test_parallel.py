@@ -61,6 +61,45 @@ def test_gspmd_dslash_matches_single(op8, mesh):
     np.testing.assert_allclose(got, want, atol=1e-11)
 
 
+def test_soa_stencil_sharded_parity(op8):
+    """The SoA fast-path stencil shards along t/z (the fused M = Y*X minor
+    axis stays local) and its full_op matches the single-device result under
+    GSPMD -- the TPU fast layout and the multi-chip path compose
+    (VERDICT r1 item 3)."""
+    import jax.numpy as jnp
+
+    from ddalphaamg_tpu import cplx
+    from ddalphaamg_tpu.geometry import Geometry
+    from ddalphaamg_tpu.operators.stencil import WilsonStencilSoA
+
+    geom = Geometry(lattice=(8, 8, 8, 8), block=(2, 2, 2, 2))
+    op_s = wilson.WilsonOperator(cplx.as_carray(op8.links),
+                                 cplx.as_carray(op8.clover))
+    stencil = WilsonStencilSoA.build(op_s, geom, dtype=jnp.complex64,
+                                     use_pallas=False)
+    rng = np.random.default_rng(3)
+    phi = cplx.as_carray((rng.normal(size=(4, 3, 8, 8, 64))
+                          + 1j * rng.normal(size=(4, 3, 8, 8, 64))).astype(np.complex64))
+    want = cplx.to_numpy(jax.jit(stencil.full_op)(phi))
+
+    mesh_tz = parallel.make_solver_mesh(dims=(4, 2, 1, 1))
+    st_sh = parallel.shard_stencil(mesh_tz, stencil)
+    phi_sh = parallel.shard_field(mesh_tz, phi, (8, 8, 8, 8), soa=True)
+    got = cplx.to_numpy(jax.jit(st_sh.full_op)(phi_sh))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+    # meshes splitting y/x must be rejected for the fused layout
+    mesh_yx = parallel.make_solver_mesh(dims=(1, 1, 4, 2))
+    with pytest.raises(ValueError):
+        parallel.shard_stencil(mesh_yx, stencil)
+
+    # shard_map path: local fused kernel + half-spinor face corrections
+    # (reference prp/prn-compressed ghost exchange, ghost_generic.c:99-104)
+    got2 = cplx.to_numpy(jax.jit(
+        lambda s, v: parallel.soa_dslash_shmap(mesh_tz, s, v))(st_sh, phi_sh))
+    np.testing.assert_allclose(got2, want, atol=2e-5)
+
+
 INI_4_MG = """
 d0 global lattice: 4 4 4 4
 d0 block lattice: 2 2 2 2
