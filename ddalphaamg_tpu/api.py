@@ -85,6 +85,7 @@ class Solver:
         self.preconditioner = None
         self.status = SetupStatus()
         self._U_host = None
+        self._U_hopp_host = None
         self._wdf = None
         self._inner_dtype = (jnp.complex64 if params.mixed_precision
                              else default_complex_dtype())
@@ -108,16 +109,42 @@ class Solver:
         # its true residual in double-float against the f64-accurate
         # operator (operators/dfloat.py) since TPU executes no f64 HLOs
         U_host = np.asarray(device_get_complex(U), np.complex128)
-        if not links_have_bc and self.p.anti_pbc:
+        bc = self.p.bc if self.p.bc is not None else (2 if self.p.anti_pbc else 1)
+        if bc == 2 and not links_have_bc:
             U_host = U_host.copy()
             U_host[0, -1] *= -1.0
+        U_hopp = U_host
+        if bc == 0:
+            # Dirichlet/open: clover from the full field, hopping time-links
+            # zeroed at global t in {0, T-2, T-1}; a nonzero U_T on the last
+            # slice is a caller layout error (reference
+            # dd_alpha_amg_set_conf, src/dd_alpha_amg.c:195-237)
+            if np.abs(U_host[0, -1]).max() != 0.0:
+                raise ValueError(
+                    "bc=0 (dirichlet): gauge field does not fit expected "
+                    "boundary conditions (U_T on the last time slice must "
+                    "be zero)")
+            U_hopp = U_host.copy()
+            U_hopp[0, 0] = 0.0
+            U_hopp[0, -2] = 0.0
+            U_hopp[0, -1] = 0.0
         self._U_host = U_host
+        self._U_hopp_host = U_hopp
         self._wdf = None
         U = device_put_complex(U_host, dtype=default_complex_dtype())
         if self.mesh is not None:
             from . import parallel
             U = parallel.shard_links(self.mesh, U)
-        self.op = WilsonOperator.from_gauge(U, m0=self.p.m0, csw=self.p.csw)
+        if bc == 0:
+            from .gauge import compute_clover
+            U_h = device_put_complex(U_hopp, dtype=default_complex_dtype())
+            if self.mesh is not None:
+                from . import parallel
+                U_h = parallel.shard_links(self.mesh, U_h)
+            clov = compute_clover(U, self.p.m0, self.p.csw)
+            self.op = WilsonOperator(links=0.5 * U_h, clover=clov)
+        else:
+            self.op = WilsonOperator.from_gauge(U, m0=self.p.m0, csw=self.p.csw)
         self.status.gauge_updates_since_setup += 1
         return float(average_plaquette(U))
 
@@ -130,7 +157,7 @@ class Solver:
         if self._wdf is not None and self._wdf[0] == key:
             return self._wdf[1], self._wdf[2]
         clov = compute_clover_np(self._U_host, self.p.m0, self.p.csw)
-        wdf = dfm.build_wilson_df(0.5 * self._U_host, clov, self.lattice)
+        wdf = dfm.build_wilson_df(0.5 * self._U_hopp_host, clov, self.lattice)
         roll = dfm.make_rollers_df(self.lattice)
         self._wdf = (key, wdf, roll)
         return wdf, roll
@@ -219,10 +246,14 @@ class Solver:
         return self.status
 
     def update_setup(self, iterations: int = 1) -> SetupStatus:
-        """Extra bootstrap iterations (reference dd_alpha_amg_setup_update)."""
+        """Extra adaptive-setup iterations (reference
+        dd_alpha_amg_setup_update), using the configured setup flavor."""
         assert self.mg is not None
         t0 = time.time()
-        self.mg.bootstrap_setup(iterations)
+        if self.p.interpolation == 1:
+            self.mg.twolevel_extension_setup(iterations)
+        else:
+            self.mg.bootstrap_setup(iterations)
         self.status.setup_time += time.time() - t0
         return self.status
 
@@ -367,6 +398,16 @@ class Solver:
             zero = jnp.zeros((4, 3, t, z, y * x_), jnp.float32)
             x = dfm.CDF(dfm.DF(zero, zero), dfm.DF(zero, zero))
 
+        # Inner restart length: capped so the device-resident GCR basis
+        # (W, Q: 2 x [m, vol*12] split-complex) stays inside what the TPU
+        # worker sustains with the traced MG cycle live -- large bases at
+        # large volume crash the relay worker (empirically ~1.2e7 complex
+        # basis entries per array is safe at 16^4; scale by volume).
+        n_dof = int(np.prod(lat)) * 12
+        m_cap = int(os.environ.get("DDAAMG_INNER_M_CAP",
+                                   max(5, min(p.restart_length,
+                                              12_000_000 // max(n_dof, 1)))))
+
         it_handles = []          # device handles, fetched once after the
         resvec = []              # loop (each fetch pays ~26 ms on the relay)
         converged = False
@@ -393,7 +434,7 @@ class Solver:
             # src/linsolve.c:210-242).
             rel_target = max(tol * norm_b / nr, 1e-5)
             zc, it, cit = self.mg.inner_restart(extract_r32(r), rel_target,
-                                                m=p.restart_length)
+                                                m=m_cap)
             x = axpy(x, zc)
             it_handles.append((it, cit))
         iters = sum(host_float(it) for it, _ in it_handles)

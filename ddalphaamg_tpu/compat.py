@@ -119,6 +119,7 @@ def _params_from(par: dd_alpha_amg_par) -> SolverParams:
     p.m0 = par.m0 if par.m0 is not None else p.m0
     p.csw = par.csw if par.csw is not None else p.csw
     p.anti_pbc = par.bc == _BC_ANTI_PERIODIC
+    p.bc = par.bc
     return p.validate()
 
 

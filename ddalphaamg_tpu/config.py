@@ -37,6 +37,9 @@ class SolverParams:
     format: int = 0
     right_hand_side: str = "ones"   # ones | first | random | zero
     anti_pbc: bool = True
+    # 0 dirichlet (open), 1 periodic, 2 anti-periodic; None = from anti_pbc
+    # (reference dd_alpha_amg.h:34, open handling dd_alpha_amg.c:195-233)
+    bc: Optional[int] = None
     num_levels: int = 2
     depth: list = dataclasses.field(default_factory=list)
     m0: float = -0.5

@@ -133,13 +133,58 @@ def write_vector(path: str, v: np.ndarray, header: dict | None = None) -> None:
         f.write(flat.tobytes())
 
 
+def _is_hdf5_path(path: str) -> bool:
+    return str(path).endswith((".h5", ".hdf5"))
+
+
+def write_test_vectors_hdf5(path: str, tvs: np.ndarray,
+                            header: dict | None = None) -> None:
+    """HDF5 test-vector checkpoint (reference HAVE_HDF5 vector_io,
+    src/io.c:32-370: an `eigenmodes` group with one `eigenmode<i>` dataset
+    per vector plus scalar attributes).  Requires h5py."""
+    try:
+        import h5py
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("HDF5 test-vector IO requires h5py") from e
+    tvs = np.asarray(tvs, np.complex128)
+    with h5py.File(path, "w") as f:
+        grp = f.create_group("eigenmodes")
+        for k, v in (header or {}).items():
+            grp.attrs[k] = v
+        grp.attrs["vectors"] = tvs.shape[0]
+        for i in range(tvs.shape[0]):
+            flat = np.empty((*tvs.shape[1:], 2), dtype="<f8")
+            flat[..., 0] = tvs[i].real
+            flat[..., 1] = tvs[i].imag
+            grp.create_dataset(f"eigenmode{i}", data=flat)
+
+
+def read_test_vectors_hdf5(path: str, lattice, n: int,
+                           dof: int = 12) -> np.ndarray:
+    try:
+        import h5py
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("HDF5 test-vector IO requires h5py") from e
+    lt, lz, ly, lx = lattice
+    with h5py.File(path, "r") as f:
+        grp = f["eigenmodes"]
+        out = []
+        for i in range(n):
+            d = np.asarray(grp[f"eigenmode{i}"])
+            out.append((d[..., 0] + 1j * d[..., 1]).reshape(lt, lz, ly, lx, dof))
+    return np.stack(out)
+
+
 def read_test_vectors(path: str, lattice, n: int, dof: int = 12,
                       single_file: bool = True) -> np.ndarray:
     """Test-vector checkpoint read (reference vector_io_single_file,
-    src/io.c:951-1124; per-vector files src/setup_generic.c:131-162).
+    src/io.c:951-1124; per-vector files src/setup_generic.c:131-162;
+    `.h5`/`.hdf5` paths use the HDF5 layout, src/io.c HAVE_HDF5).
 
     single_file: one file with a mandatory header then n vectors
     back-to-back; otherwise per-vector files `path.XX`."""
+    if _is_hdf5_path(path):
+        return read_test_vectors_hdf5(path, lattice, n, dof)
     lt, lz, ly, lx = lattice
     per = lt * lz * ly * lx * dof
     if single_file:
@@ -158,6 +203,9 @@ def write_test_vectors(path: str, tvs: np.ndarray, single_file: bool = True,
                        header: dict | None = None) -> None:
     """Test-vector checkpoint write (inverse of read_test_vectors)."""
     tvs = np.asarray(tvs)
+    if _is_hdf5_path(path):
+        write_test_vectors_hdf5(path, tvs, header)
+        return
     if single_file:
         flat = np.empty(tvs.size * 2, dtype="<f8")
         flat[0::2] = tvs.real.ravel()

@@ -52,9 +52,20 @@ def _agg_face_masks(lattice, coarsening):
     return np.stack(up)[..., None, None], np.stack(lo)[..., None, None]
 
 
+def _map(f, xs):
+    """Sequential map over the leading (basis) axis.
+
+    vmap here multiplies every whole-lattice intermediate by 2N: at 16^4
+    with N=12 the Galerkin build peaked at 13 GiB of XLA temps (measured via
+    memory_analysis) -- more than a v5e's HBM.  The basis applications are
+    full-lattice stencil sweeps with plenty of inner parallelism, so
+    sequential lax.map costs nothing and caps the peak at ~one field."""
+    return jax.lax.map(f, xs)
+
+
 def _stack_columns(agg: Aggregation, P: jnp.ndarray, fields: jnp.ndarray) -> jnp.ndarray:
     """Restrict a batch of 2N fields -> [Tc,Zc,Yc,Xc, 2N(row), 2N(col)]."""
-    cols = jax.vmap(lambda f: restrict(agg, P, f))(fields)  # [2N, Tc.., 2N]
+    cols = _map(lambda f: restrict(agg, P, f), fields)  # [2N, Tc.., 2N]
     return cplx.moveaxis(cols, 0, -1)
 
 
@@ -77,16 +88,17 @@ def _from_wilson(op: WilsonOperator, agg: Aggregation, P: jnp.ndarray) -> Coarse
 
     B = assemble_basis(agg, P, dof_shape)  # [2N, T,Z,Y,X,4,3]
 
-    intra = jax.vmap(lambda b: clover_apply(op.clover, b)
-                     + dslash_hopping(links_intra, b))(B)
-    A = _stack_columns(agg, P, intra)
+    def columns(apply_fn):
+        # apply + restrict fused per basis vector: one live fine field
+        return cplx.moveaxis(
+            _map(lambda b: restrict(agg, P, apply_fn(b)), B), 0, -1)
 
+    A = columns(lambda b: clover_apply(op.clover, b)
+                + dslash_hopping(links_intra, b))
     Df, Db = [], []
     for mu in range(4):
-        f = jax.vmap(lambda b: dslash_fwd(links_face, b, dirs=(mu,)))(B)
-        Df.append(_stack_columns(agg, P, f))
-        g = jax.vmap(lambda b: dslash_bwd(links_face, b, dirs=(mu,)))(B)
-        Db.append(_stack_columns(agg, P, g))
+        Df.append(columns(lambda b, _m=mu: dslash_fwd(links_face, b, dirs=(_m,))))
+        Db.append(columns(lambda b, _m=mu: dslash_bwd(links_face, b, dirs=(_m,))))
     return CoarseOperator(A=A, Df=cplx.stack(Df), Db=cplx.stack(Db))
 
 
@@ -101,18 +113,16 @@ def _from_coarse(cop: CoarseOperator, agg: Aggregation, P: jnp.ndarray) -> Coars
 
     B = assemble_basis(agg, P, dof_shape)  # [2N, lat, d]
 
-    def intra_apply(b):
-        return (cplx.einsum("...ij,...j->...i", cop.A, b)
+    def columns(apply_fn):
+        return cplx.moveaxis(
+            _map(lambda b: restrict(agg, P, apply_fn(b)), B), 0, -1)
+
+    A = columns(lambda b: cplx.einsum("...ij,...j->...i", cop.A, b)
                 + coarse_hop(Df_intra, Db_intra, b))
-
-    A = _stack_columns(agg, P, jax.vmap(intra_apply)(B))
-
     Df, Db = [], []
     for mu in range(4):
-        f = jax.vmap(lambda b: cplx.einsum(
-            "...ij,...j->...i", Df_face[mu], cplx.roll(b, -1, mu)))(B)
-        Df.append(_stack_columns(agg, P, f))
-        g = jax.vmap(lambda b: cplx.einsum(
-            "...ij,...j->...i", Db_face[mu], cplx.roll(b, 1, mu)))(B)
-        Db.append(_stack_columns(agg, P, g))
+        Df.append(columns(lambda b, _m=mu: cplx.einsum(
+            "...ij,...j->...i", Df_face[_m], cplx.roll(b, -1, _m))))
+        Db.append(columns(lambda b, _m=mu: cplx.einsum(
+            "...ij,...j->...i", Db_face[_m], cplx.roll(b, 1, _m))))
     return CoarseOperator(A=A, Df=cplx.stack(Df), Db=cplx.stack(Db))

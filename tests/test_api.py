@@ -93,3 +93,36 @@ def test_shift_update(conf4):
     s.shift_update(-0.45)
     x, info = s.solve()
     assert info.converged
+
+
+def test_dirichlet_bc(conf4):
+    """bc=0 (open/Dirichlet, reference dd_alpha_amg.c:195-237): hopping
+    time-links zeroed at global t in {0, T-2, T-1} while the clover keeps
+    the full field; no coupling across the time boundary."""
+    from ddalphaamg_tpu import io as dio
+    from ddalphaamg_tpu import cplx
+
+    p = config.parse_ini(INI_4)
+    p.configuration = conf4
+    p.bc = 0
+    p.anti_pbc = False
+    U, _ = dio.read_gauge_field(conf4, anti_periodic=False)
+    U = np.asarray(U).copy()
+    s = api.Solver(p)
+    with pytest.raises(ValueError):
+        s.set_conf(U)              # nonzero U_T on the last slice
+    U[0, -1] = 0.0
+    s.set_conf(U)
+    links = cplx.to_numpy(s.op.links) if hasattr(s.op.links, "re") \
+        else np.asarray(s.op.links)
+    assert np.abs(links[0, 0]).max() == 0.0
+    assert np.abs(links[0, -1]).max() == 0.0
+    assert np.abs(links[0, -2]).max() == 0.0
+    # a source on the first slice produces nothing on the last slice
+    phi = np.zeros((*s.lattice, 4, 3), dtype=complex)
+    phi[0] = 1.0
+    out = np.asarray(s.apply_operator(phi))
+    assert np.abs(out[-1]).max() == 0.0
+    s.setup()
+    x, info = s.solve(tol=1e-8)
+    assert info.converged

@@ -47,3 +47,17 @@ def test_random_gauge_is_su3():
     ident = np.einsum("dtzyxab,dtzyxcb->dtzyxac", U, U.conj())
     np.testing.assert_allclose(ident, np.broadcast_to(np.eye(3), ident.shape), atol=1e-12)
     np.testing.assert_allclose(np.linalg.det(U), 1.0, atol=1e-12)
+
+
+def test_hdf5_test_vector_roundtrip(tmp_path):
+    """HDF5 test-vector checkpoint (reference HAVE_HDF5 vector_io layout:
+    eigenmodes/eigenmode<i> datasets, src/io.c:32-370)."""
+    pytest.importorskip("h5py")
+    from ddalphaamg_tpu import io as dio
+
+    rng = np.random.default_rng(0)
+    tvs = rng.normal(size=(3, 2, 2, 2, 2, 12)) + 1j * rng.normal(size=(3, 2, 2, 2, 2, 12))
+    path = str(tmp_path / "tvs.h5")
+    dio.write_test_vectors(path, tvs, header={"m0": -0.5})
+    back = dio.read_test_vectors(path, (2, 2, 2, 2), n=3)
+    np.testing.assert_allclose(back, tvs, atol=0)
