@@ -166,12 +166,16 @@ def bench_mg_solve():
     """Production end-to-end solve: setup + solve to 1e-10 on SOLVE_LAT."""
     from ddalphaamg_tpu import api, config
 
-    p = config.SolverParams(num_levels=2, tol=SOLVE_TOL,
+    p = config.SolverParams(num_levels=3, tol=SOLVE_TOL,
                             restart_length=50, max_restarts=20,
                             right_hand_side="random", seed=5)
     p.depth = [config.DepthParams(global_lattice=SOLVE_LAT,
                                   block_lattice=(2, 2, 2, 2),
-                                  test_vectors=12, setup_iter=1,
+                                  test_vectors=12, setup_iter=2,
+                                  post_smooth_iter=2, block_iter=4),
+               config.DepthParams(global_lattice=(8, 8, 8, 8),
+                                  block_lattice=(2, 2, 2, 2),
+                                  test_vectors=12, setup_iter=2,
                                   post_smooth_iter=2, block_iter=4)]
     solver = api.Solver(p)
     U = smooth_su3(SOLVE_LAT, seed=0)
@@ -237,7 +241,7 @@ def bench_mg_solve():
         "mg_exact_relres": float(f"{exact:.3e}"),
         "mg_converged": bool(info.converged and exact < 2 * SOLVE_TOL),
         "mg_lattice": list(SOLVE_LAT),
-        "mg_levels": 2,
+        "mg_levels": p.num_levels,
         "mg_memory_mb": round(info.memory_mb, 1),
         "ref_scaled_solve_seconds": round(scaled_ref, 1),
         "mg_vs_ref_scaled": round(scaled_ref / max(info.solve_time, 1e-9), 2),

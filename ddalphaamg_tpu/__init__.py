@@ -24,12 +24,16 @@ if not os.environ.get("DDAAMG_NO_X64"):
 # TPU relay that is minutes of fixed cost per process.  Measured: 4^4 setup
 # 198 s -> 63 s with a warm cache.  Opt out with DDAAMG_NO_COMPILE_CACHE=1.
 if not os.environ.get("DDAAMG_NO_COMPILE_CACHE"):
-    _cache_dir = (os.environ.get("JAX_COMPILATION_CACHE_DIR")
-                  or os.path.expanduser("~/.cache/ddalphaamg_tpu/xla"))
     try:
-        os.makedirs(_cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # TPU only: XLA:CPU persists machine-feature-specific AOT code that
+        # can be loaded in a mismatched context (SIGILL risk); the win is on
+        # the remote-compile TPU relay anyway.
+        if jax.default_backend() == "tpu":
+            _cache_dir = (os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                          or os.path.expanduser("~/.cache/ddalphaamg_tpu/xla"))
+            os.makedirs(_cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", _cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 

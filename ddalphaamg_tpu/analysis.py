@@ -41,10 +41,16 @@ def run_self_checks(mg, seed: int = 0) -> dict:
     while lvl is not None and not lvl.is_coarsest:
         nxt = lvl.next
         d = lvl.depth
-        cshape = (*nxt.geom.lattice, nxt.stencil.field_shape[-1])
+        ns = nxt.stencil
+        cshape = (*nxt.geom.lattice, int(np.prod(nxt.dof_shape)))
         vc = device_put_complex(
             (rng.normal(size=cshape) + 1j * rng.normal(size=cshape)),
             dtype=mg.cfg.dtype, split=mg._split)
+
+        def coarse_apply_logical(w):
+            # next-level operator on logical-layout fields (identity hooks
+            # for the logical coarse layout)
+            return ns.to_logical(ns.full_op(ns.from_logical(w)))
 
         # P^H P = I
         vc2 = restrict(lvl.agg, lvl.P, interpolate(lvl.agg, lvl.P, vc,
@@ -52,7 +58,7 @@ def run_self_checks(mg, seed: int = 0) -> dict:
         out[f"depth{d}: P^H P == I"] = _rnorm(vc2 - vc) / _rnorm(vc)
 
         # Galerkin: D_c v == P^H D P v
-        lhs = nxt.stencil.full_op(vc)
+        lhs = coarse_apply_logical(vc)
         fine_v = lvl.stencil.from_logical(
             interpolate(lvl.agg, lvl.P, vc, lvl.dof_shape))
         rhs = restrict(lvl.agg, lvl.P,
@@ -63,8 +69,8 @@ def run_self_checks(mg, seed: int = 0) -> dict:
         yc = device_put_complex(
             (rng.normal(size=cshape) + 1j * rng.normal(size=cshape)),
             dtype=mg.cfg.dtype, split=mg._split)
-        a = cplx.vdot(yc, coarse_gamma5(nxt.stencil.full_op(vc)))
-        b = cplx.vdot(coarse_gamma5(nxt.stencil.full_op(yc)), vc)
+        a = cplx.vdot(yc, coarse_gamma5(coarse_apply_logical(vc)))
+        b = cplx.vdot(coarse_gamma5(coarse_apply_logical(yc)), vc)
         num = abs(complex(host_float(cplx.real(a - b)),
                           host_float(cplx.imag(a - b))))
         den = abs(complex(host_float(cplx.real(a)), host_float(cplx.imag(a))))
@@ -118,7 +124,7 @@ def coarse_reduction(mg, seed: int = 0) -> float:
         lvl = lvl.next
     nxt = lvl.next
     rng = np.random.default_rng(seed)
-    cshape = (*nxt.geom.lattice, nxt.stencil.field_shape[-1])
+    cshape = nxt.stencil.field_shape     # the level's stencil layout
     b = device_put_complex(rng.normal(size=cshape) + 1j * rng.normal(size=cshape),
                            dtype=mg.cfg.dtype, split=mg._split)
     x, _ = mg._coarsest_solve_traced(nxt.stencil, nxt.geom, b, mg.cfg.coarse_tol)

@@ -44,17 +44,21 @@ from .interpolation import Aggregation, build_interpolation, interpolate, restri
 from functools import partial
 
 
-@partial(jax.jit, static_argnames=("agg", "geom", "n"))
-def _resetup_kernel(stencil, op_galerkin, tvs, agg, geom, n: int):
+@partial(jax.jit, static_argnames=("agg", "geom", "n", "soa"))
+def _resetup_kernel(stencil, op_galerkin, tvs, agg, geom, n: int,
+                    soa: bool = False):
     """One coarsening rebuild as a single device program: test vectors ->
     logical layout -> aggregate-QR interpolation -> Galerkin triple product
     -> coarse stencil (incl. factorized inverses).  Eagerly this is
     hundreds of tiny dispatches (fatal on a ~26 ms/dispatch TPU relay);
-    jitted it is one."""
+    jitted it is one.  soa selects the dof-major coarse layout (the TPU
+    AoSoA analog, operators/stencil.py CoarseStencilSoA)."""
+    from ..operators.stencil import CoarseStencilSoA
     tvs_log = cplx.stack([stencil.to_logical(tvs[i]) for i in range(n)])
     P = build_interpolation(agg, tvs_log)
     cop = build_coarse_operator(op_galerkin, agg, P)
-    return P, CoarseStencil.build(cop, geom)
+    cls = CoarseStencilSoA if soa else CoarseStencil
+    return P, cls.build(cop, geom)
 
 
 @jax.jit
@@ -103,6 +107,10 @@ class MGConfig:
     # depth-0 field layout: "logical" [T,Z,Y,X,4,3], "soa" [4,3,T,Z,M]
     # (the TPU fast path + Pallas Dslash), or "auto" (soa iff split)
     fine_layout: str = "auto"
+    # coarse-level layout: "logical" [T,Z,Y,X,d(,d)] (site-major batched
+    # matmuls) or "soa" [d(,d),T,Z,M] (dof-major VPU elementwise -- the
+    # reference's AoSoA analog); "auto" follows the fine layout
+    coarse_layout: str = "auto"
     # 4D device mesh (parallel.make_solver_mesh) for production multi-device
     # solves: fine/intermediate levels are sharded by domain decomposition,
     # the coarsest level is replicated (the reference's "gathering" analog,
@@ -114,6 +122,12 @@ class MGConfig:
         if self.fine_layout == "auto":
             return self.split
         return self.fine_layout == "soa"
+
+    @property
+    def use_coarse_soa(self):
+        if self.coarse_layout == "auto":
+            return self.use_soa
+        return self.coarse_layout == "soa"
 
     @property
     def num_levels(self):
@@ -142,6 +156,9 @@ class MGLevel:
         """dof shape of the LOGICAL layout at this level."""
         if isinstance(self.stencil, (WilsonStencil, WilsonStencilSoA)):
             return (4, 3)
+        from ..operators.stencil import CoarseStencilSoA
+        if isinstance(self.stencil, CoarseStencilSoA):
+            return (self.stencil.A.shape[0],)
         return self.stencil.field_shape[4:]
 
     def tvs_logical(self):
@@ -192,16 +209,16 @@ class Multigrid:
             level.stencil = parallel.replicate_stencil(mesh, level.stencil)
         else:
             level.stencil = parallel.shard_stencil(mesh, level.stencil)
+        from ..operators.stencil import CoarseStencilSoA
+        is_soa = isinstance(level.stencil, (WilsonStencilSoA, CoarseStencilSoA))
         if level.smoother is not None:
             level.smoother.replace_stencil(level.stencil)
-            soa = isinstance(level.stencil, WilsonStencilSoA)
             level.smoother.colors = tuple(
-                parallel.shard_field(mesh, c, level.geom.lattice, soa=soa)
+                parallel.shard_field(mesh, c, level.geom.lattice, soa=is_soa)
                 for c in level.smoother.colors)
         if level.test_vectors is not None:
             level.test_vectors = parallel.shard_stacked_field(
-                mesh, level.test_vectors, level.geom.lattice,
-                soa=isinstance(level.stencil, WilsonStencilSoA))
+                mesh, level.test_vectors, level.geom.lattice, soa=is_soa)
         if level.P is not None:
             level.P = parallel.shard_interpolation(
                 mesh, level.P, level.agg.coarse_lattice)
@@ -234,7 +251,7 @@ class Multigrid:
                 prev.P, stencil = _resetup_kernel(
                     prev.stencil, prev.operator_for_galerkin(),
                     prev.test_vectors, agg, geom,
-                    prev.cfg.num_test_vectors)
+                    prev.cfg.num_test_vectors, soa=cfg.use_coarse_soa)
                 if cfg.mesh is not None:
                     from .. import parallel
                     prev.P = parallel.shard_interpolation(
@@ -257,11 +274,8 @@ class Multigrid:
         (reference interpolation_PRECISION_define, src/setup_generic.c:215-246)."""
         n = level.cfg.num_test_vectors
         # draw in the LOGICAL shape so the random stream is identical across
-        # fine-level layouts (SoA vs logical give bit-identical hierarchies)
-        if isinstance(level.stencil, WilsonStencilSoA):
-            shape = (n, *level.geom.lattice, 4, 3)
-        else:
-            shape = (n, *level.stencil.field_shape)
+        # level layouts (SoA vs logical give bit-identical hierarchies)
+        shape = (n, *level.geom.lattice, *level.dof_shape)
         ka, kb = jax.random.split(key)
         rdtype = np.zeros((), np.dtype(self.cfg.dtype)).real.dtype
         re = jax.random.normal(ka, shape, dtype=rdtype)
@@ -310,12 +324,12 @@ class Multigrid:
 
     def _coarsest_solve_traced(self, s, geom, b, tol):
         """Odd-even Schur GCR on the coarsest level, fully on device
-        (coarse_solve_odd_even_PRECISION, src/coarse_oddeven_generic.c:1139)."""
+        (coarse_solve_odd_even_PRECISION, src/coarse_oddeven_generic.c:1139).
+        b and the result are in the level's STENCIL layout."""
         cfg = self.cfg
         use_oe = cfg.odd_even and all(e % 2 == 0 for e in geom.lattice)
         if use_oe:
-            def hop(v):
-                return coarse_hop(s.Df, s.Db, v)
+            hop = s.hop
 
             def schur(v):
                 ve = s.even * v
@@ -347,31 +361,35 @@ class Multigrid:
         citers = jnp.float32(0.0)
         for _ in range(level.cfg.n_cy):
             r = eta if x is None else eta - s.full_op(x)
-            # layout boundary: SoA fine fields -> logical for P^H
-            # (reference trans_back analog)
-            b_c = restrict(level.agg, data[depth]["P"], s.to_logical(r))
+            # layout boundary: SoA fields -> logical for P^H / P
+            # (reference trans_back analog); the next level works in ITS
+            # stencil layout (identity for the logical coarse layout)
+            ns = data[depth + 1]["stencil"]
+            b_c = ns.from_logical(
+                restrict(level.agg, data[depth]["P"], s.to_logical(r)))
             if nxt.is_coarsest:
-                x_c, it = self._coarsest_solve_traced(
-                    data[depth + 1]["stencil"], nxt.geom, b_c, cfg.coarse_tol)
+                x_cs, it = self._coarsest_solve_traced(
+                    ns, nxt.geom, b_c, cfg.coarse_tol)
                 citers = citers + it
             elif cfg.kcycle:
                 def kprec(v, _d=depth + 1):
                     z, it = self._cycle(data, _d, v, kcycle_tol)
                     return z, it
 
-                x_c, _, _, inner = device_gcr(
-                    data[depth + 1]["stencil"].full_op, b_c,
+                x_cs, _, _, inner = device_gcr(
+                    ns.full_op, b_c,
                     m=cfg.kcycle_length, tol=kcycle_tol,
                     n_restarts=cfg.kcycle_restarts, prec=kprec)
                 citers = citers + inner
             else:
-                x_c, it = self._cycle(data, depth + 1, b_c, kcycle_tol,
-                                      collect=collect)
+                x_cs, it = self._cycle(data, depth + 1, b_c, kcycle_tol,
+                                       collect=collect)
                 citers = citers + it
             if collect is not None:
-                collect[depth + 1] = x_c
+                collect[depth + 1] = x_cs     # next level's stencil layout
             corr = s.from_logical(
-                interpolate(level.agg, data[depth]["P"], x_c, level.dof_shape))
+                interpolate(level.agg, data[depth]["P"], ns.to_logical(x_cs),
+                            level.dof_shape))
             x = corr if x is None else x + corr
             from ..smoothers.sap import sap_smooth_from
             x = sap_smooth_from(s, data[depth]["colors"], eta, x,
@@ -483,8 +501,9 @@ class Multigrid:
         levels = self._levels()
         level, nxt = levels[depth], levels[depth + 1]
         s = data[depth]["stencil"]
-        b_c = restrict(level.agg, data[depth]["P"], s.to_logical(tv))
         ns = data[depth + 1]["stencil"]
+        b_c = ns.from_logical(
+            restrict(level.agg, data[depth]["P"], s.to_logical(tv)))
         if nxt.is_coarsest:
             x_c, _ = self._coarsest_solve_traced(ns, nxt.geom, b_c,
                                                  cfg.coarse_tol)
@@ -495,7 +514,8 @@ class Multigrid:
                                       tol=cfg.coarse_tol,
                                       n_restarts=cfg.coarse_restart)
         buf = s.from_logical(
-            interpolate(level.agg, data[depth]["P"], x_c, level.dof_shape))
+            interpolate(level.agg, data[depth]["P"], ns.to_logical(x_c),
+                        level.dof_shape))
         from ..smoothers.sap import sap_smooth_from
         buf = sap_smooth_from(s, data[depth]["colors"], tv, buf,
                               cycles=level.cfg.post_smooth_iter,
@@ -594,7 +614,8 @@ class Multigrid:
             nxt = lvl.next
             lvl.P, nxt.stencil = _resetup_kernel(
                 lvl.stencil, lvl.operator_for_galerkin(), lvl.test_vectors,
-                lvl.agg, nxt.geom, lvl.cfg.num_test_vectors)
+                lvl.agg, nxt.geom, lvl.cfg.num_test_vectors,
+                soa=self.cfg.use_coarse_soa)
             if mesh is not None:
                 from .. import parallel
                 lvl.P = parallel.shard_interpolation(mesh, lvl.P,

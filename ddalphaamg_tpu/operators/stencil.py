@@ -187,6 +187,9 @@ class CoarseStencil(_LogicalLayout):
     def full_op(self, v):
         return coarse_apply(self.cop, v)
 
+    def hop(self, v):
+        return coarse_hop(self.Df, self.Db, v)
+
     def block_op(self, v):
         out = cplx.einsum("...ij,...j->...i", self.A, v)
         return out + coarse_hop(self.Df_intra, self.Db_intra, v)
@@ -199,6 +202,171 @@ class CoarseStencil(_LogicalLayout):
 
     def hop_intra(self, v):
         return coarse_hop(self.Df_intra, self.Db_intra, v)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["A", "Df", "Db", "Df_intra", "Db_intra", "A_inv",
+                      "even", "odd"],
+         meta_fields=["geom"])
+@dataclasses.dataclass(frozen=True)
+class CoarseStencilSoA:
+    """Coarse-grid block stencil in dof-major SoA layout: A [d,d,T,Z,M],
+    Df/Db [4,d,d,T,Z,M], fields [d,T,Z,M] with M = Y*X fused.
+
+    TPU rationale (the reference's AoSoA coarse layout,
+    src/vectorization_control.h:46 / sse_coarse_operator_generic.c:28-230):
+    site-major [.., d, d] blocks compile to batched (d x d) matmuls that
+    occupy (d/128)^2 of the MXU (3.5% at d = 24); dof-major turns the
+    apply into d^2 full-lane VPU multiply-adds over the lattice, the exact
+    analog of the reference packing SIMD-width sites per vector register.
+    """
+
+    A: object
+    Df: object
+    Db: object
+    Df_intra: object
+    Db_intra: object
+    A_inv: object
+    even: jnp.ndarray      # [T,Z,M]
+    odd: jnp.ndarray
+    geom: Geometry
+
+    @classmethod
+    def build(cls, cop: CoarseOperator, geom: Geometry,
+              dtype=None) -> "CoarseStencilSoA":
+        if dtype is not None:
+            cop = cop.astype(dtype)
+        rdtype = cop.A.re.dtype if cplx.is_split(cop.A) else cop.A.real.dtype
+        fwd, bwd = intra_block_masks(geom.lattice, geom.block)
+        t, z, y, x = geom.lattice
+
+        def blk_to_soa(a, lead=0):
+            """[(lead), T,Z,Y,X, d, d] -> [(lead), d, d, T, Z, M]."""
+            nd = (a.re.ndim if cplx.is_split(a) else a.ndim)
+            perm = tuple(range(lead)) + (nd - 2, nd - 1) + tuple(
+                range(lead, lead + 4))
+            out = _transpose_any(a, perm)
+            d = a.shape[-1]
+            lead_shape = a.shape[:lead]
+            return out.reshape(*lead_shape, d, d, t, z, y * x)
+
+        from .fast import lattice_mask_to_soa
+        par = (np.indices(geom.lattice).sum(axis=0) % 2 == 0).astype(np.float64)
+        return cls(
+            A=blk_to_soa(cop.A),
+            Df=blk_to_soa(cop.Df, lead=1),
+            Db=blk_to_soa(cop.Db, lead=1),
+            Df_intra=blk_to_soa(cop.Df * jnp.asarray(fwd, dtype=rdtype), lead=1),
+            Db_intra=blk_to_soa(cop.Db * jnp.asarray(bwd, dtype=rdtype), lead=1),
+            A_inv=blk_to_soa(cplx.inv(cop.A)),
+            even=lattice_mask_to_soa(par, rdtype),
+            odd=lattice_mask_to_soa(1.0 - par, rdtype),
+            geom=geom)
+
+    @property
+    def dtype(self):
+        return self.A.dtype
+
+    @property
+    def field_shape(self):
+        t, z, y, x = self.geom.lattice
+        return (self.A.shape[0], t, z, y * x)
+
+    @property
+    def cop(self) -> CoarseOperator:
+        """Logical-layout view (Galerkin input for the next coarsening)."""
+        return CoarseOperator(self._blk_from_soa(self.A),
+                              self._blk_from_soa(self.Df, lead=1),
+                              self._blk_from_soa(self.Db, lead=1))
+
+    def _blk_from_soa(self, a, lead=0):
+        t, z, y, x = self.geom.lattice
+        d = a.shape[lead]
+        lead_shape = a.shape[:lead]
+        a = a.reshape(*lead_shape, d, d, t, z, y, x)
+        nd = (a.re.ndim if cplx.is_split(a) else a.ndim)
+        perm = tuple(range(lead)) + tuple(range(lead + 2, nd)) + (lead, lead + 1)
+        return _transpose_any(a, perm)
+
+    def _roll(self):
+        return _cached_rollers(self.geom.lattice,
+                               str(self.A.re.dtype if cplx.is_split(self.A)
+                                   else np.zeros((), self.A.dtype).real.dtype))
+
+    def _mv(self, blk, v):
+        return cplx.einsum("ij...,j...->i...", blk, v)
+
+    def hop(self, v):
+        roll = self._roll()
+        out = None
+        for mu in range(4):
+            t = self._mv(self.Df[mu], roll(v, -1, mu))
+            t = t + self._mv(self.Db[mu], roll(v, 1, mu))
+            out = t if out is None else out + t
+        return out
+
+    def full_op(self, v):
+        return self._mv(self.A, v) + self.hop(v)
+
+    def block_op(self, v):
+        return self._mv(self.A, v) + self.hop_intra(v)
+
+    def self_op(self, v):
+        return self._mv(self.A, v)
+
+    def self_inv(self, v, mask):
+        return self._mv(self.A_inv, mask * v)
+
+    def hop_intra(self, v):
+        roll = self._roll()
+        out = None
+        for mu in range(4):
+            t = self._mv(self.Df_intra[mu], roll(v, -1, mu))
+            t = t + self._mv(self.Db_intra[mu], roll(v, 1, mu))
+            out = t if out is None else out + t
+        return out
+
+    # --- layout hooks ---
+
+    def to_logical(self, v):
+        t, z, y, x = self.geom.lattice
+        d = v.shape[0]
+        return _transpose_any(v.reshape(d, t, z, y, x), (1, 2, 3, 4, 0))
+
+    def from_logical(self, v):
+        t, z, y, x = self.geom.lattice
+        return _transpose_any(v, (4, 0, 1, 2, 3)).reshape(-1, t, z, y * x)
+
+    def lattice_mask(self, mask_np):
+        from .fast import lattice_mask_to_soa
+        rdtype = np.zeros((), np.dtype(self.dtype)).real.dtype
+        return lattice_mask_to_soa(np.asarray(mask_np), rdtype)
+
+    def dof_sum(self, a):
+        return cplx.sum_dof(a, (0,))
+
+    def block_sum(self, a, geom: Geometry):
+        gt, gz, gy, gx = geom.block_grid
+        bt, bz, by, bx = geom.block
+        if cplx.is_split(a):
+            return cplx.CArray(self.block_sum(a.re, geom),
+                               self.block_sum(a.im, geom))
+        return a.reshape(gt, bt, gz, bz, gy, by, gx, bx).sum(axis=(1, 3, 5, 7))
+
+    def block_expand(self, a, geom: Geometry):
+        if cplx.is_split(a):
+            return cplx.CArray(self.block_expand(a.re, geom),
+                               self.block_expand(a.im, geom))
+        for mu in range(4):
+            a = jnp.repeat(a, geom.block[mu], axis=mu)
+        t, z, y, x = self.geom.lattice
+        return a.reshape(t, z, y * x)
+
+
+def _transpose_any(a, axes):
+    if cplx.is_split(a):
+        return cplx.CArray(jnp.transpose(a.re, axes), jnp.transpose(a.im, axes))
+    return jnp.transpose(a, axes)
 
 
 # ---------------------------------------------------------------------------

@@ -125,12 +125,29 @@ def shard_stencil(mesh: Mesh, s):
     decomposition).  Returns a stencil of the same type.  For coarse levels
     pass `replicated=True` via replicate_stencil instead."""
     import dataclasses
-    from ..operators.stencil import (CoarseStencil, WilsonStencil,
-                                     WilsonStencilSoA)
+    from ..operators.stencil import (CoarseStencil, CoarseStencilSoA,
+                                     WilsonStencil, WilsonStencilSoA)
     lat = s.geom.lattice
 
     def put(x, spec):
         return _put(x, NamedSharding(mesh, spec))
+
+    if isinstance(s, CoarseStencilSoA):
+        if mesh.shape["y"] > 1 or mesh.shape["x"] > 1:
+            raise ValueError(
+                "SoA coarse layout fuses Y*X; use coarse_layout='logical' "
+                f"for meshes with y/x extents > 1 (mesh {dict(mesh.shape)})")
+        return dataclasses.replace(
+            s,
+            A=put(s.A, soa_spec(mesh, lat, lead=2)),
+            Df=put(s.Df, soa_spec(mesh, lat, lead=3)),
+            Db=put(s.Db, soa_spec(mesh, lat, lead=3)),
+            Df_intra=put(s.Df_intra, soa_spec(mesh, lat, lead=3)),
+            Db_intra=put(s.Db_intra, soa_spec(mesh, lat, lead=3)),
+            A_inv=put(s.A_inv, soa_spec(mesh, lat, lead=2)),
+            even=put(s.even, soa_spec(mesh, lat)),
+            odd=put(s.odd, soa_spec(mesh, lat)),
+        )
 
     if isinstance(s, WilsonStencilSoA):
         if mesh.shape["y"] > 1 or mesh.shape["x"] > 1:

@@ -87,8 +87,8 @@ def device_gcr(apply_op: Callable, b, m: int, tol: float,
         W = basis_zeros()   # orthonormal A*Q directions
         Q = basis_zeros()   # search directions (same scaling as W)
 
-        def body(j, st):
-            x, r, W, Q, iters, aux_sum, active = st
+        def body(st):
+            j, x, r, W, Q, iters, aux_sum = st
             q, aux = p(r)
             w = apply_op(q)
             wf, qf = w.reshape(-1), q.reshape(-1)
@@ -101,21 +101,25 @@ def device_gcr(apply_op: Callable, b, m: int, tol: float,
             inv = jax.lax.rsqrt(jnp.where(wn2 == 0, 1.0, wn2))
             wf = wf * inv
             qf = qf * inv
-            W = W.at[j].set(wf * active)
-            Q = Q.at[j].set(qf * active)
+            W = W.at[j].set(wf)
+            Q = Q.at[j].set(qf)
             # residual minimization step: alpha = <w, r>
             ar, ai = _creal_dot(wf, rf)
-            ar, ai = ar * active, ai * active
             x = x + unflat(_cax(ar, ai, qf))
             r = r - unflat(_cax(ar, ai, wf))
-            iters = iters + active
-            aux_sum = aux_sum + aux * active
-            active = active * (cplx.norm2(r) >= tol2 * bnorm2).astype(active.dtype)
-            return (x, r, W, Q, iters, aux_sum, active)
+            return (j + 1, x, r, W, Q, iters + 1.0, aux_sum + aux)
 
-        active0 = (cplx.norm2(r) >= tol2 * bnorm2).astype(jnp.float32)
-        x, r, W, Q, iters, aux_sum, active = jax.lax.fori_loop(
-            0, m, body, (x, r, W, Q, iters, aux_sum, active0))
+        def cond(st):
+            # early exit: a converged solve STOPS (a frozen fori_loop would
+            # keep paying full preconditioner+operator cost for the rest of
+            # the m iterations -- measured 96% coarse-time fraction at 16^4
+            # before this)
+            j, x, r, W, Q, iters, aux_sum = st
+            return jnp.logical_and(j < m, cplx.norm2(r) >= tol2 * bnorm2)
+
+        j0 = jnp.int32(0)
+        j, x, r, W, Q, iters, aux_sum = jax.lax.while_loop(
+            cond, body, (j0, x, r, W, Q, iters, aux_sum))
         return (x, iters, aux_sum), cplx.norm2(r)
 
     carry = (x, jnp.float32(0.0), jnp.float32(0.0))

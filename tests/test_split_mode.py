@@ -118,3 +118,35 @@ def test_soa_fine_layout_iteration_parity(conf4):
     assert results["soa"].iterations == results["logical"].iterations
     np.testing.assert_allclose(np.asarray(results["soa"].x),
                                np.asarray(results["logical"].x), atol=1e-6)
+
+
+def test_coarse_soa_layout_parity(conf8):
+    """3-level MG with the dof-major coarse layout (CoarseStencilSoA, the
+    reference AoSoA analog) is numerically identical to the site-major
+    layout: same iteration count, same solution."""
+    U, _ = dio.read_gauge_field(conf8, anti_periodic=True)
+    op = wilson.WilsonOperator.from_gauge(U, m0=M0, csw=CSW)
+    b = jnp.ones((8, 8, 8, 8, 4, 3), dtype=complex)
+
+    results = {}
+    for cl in ("logical", "soa"):
+        cfg = MGConfig(levels=[
+            LevelConfig(lattice=(8, 8, 8, 8), block=(2, 2, 2, 2),
+                        post_smooth_iter=2, block_iter=4,
+                        num_test_vectors=4, setup_iter=1),
+            LevelConfig(lattice=(4, 4, 4, 4), block=(2, 2, 2, 2),
+                        num_test_vectors=4),
+            LevelConfig(lattice=(2, 2, 2, 2), block=(1, 1, 1, 1)),
+        ], coarse_layout=cl, seed=7)
+        mg = Multigrid(op, cfg)
+        mg.bootstrap_setup()
+        res = fgmres(lambda v: wilson.d_plus_clover(op, v), b,
+                     preconditioner=mg, tol=1e-8, restart_length=50,
+                     max_restarts=10)
+        assert res.converged
+        results[cl] = res
+
+    assert results["soa"].iterations == results["logical"].iterations, (
+        results["soa"].iterations, results["logical"].iterations)
+    np.testing.assert_allclose(np.asarray(results["soa"].x),
+                               np.asarray(results["logical"].x), atol=2e-6)
