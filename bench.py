@@ -225,7 +225,11 @@ def bench_mg_solve():
         t_op = timeit(_jax.jit(lvl.stencil.full_op), v0)
         fine_t = lvl.cfg.n_cy * (t_sm + 2 * t_op)
         coarse_frac = max(0.0, min(1.0, (t_cycle - fine_t) / t_cycle))
+        extra_times = {"cycle_ms": round(t_cycle * 1e3, 2),
+                       "smoother_ms": round(t_sm * 1e3, 2),
+                       "fine_op_ms": round(t_op * 1e3, 2)}
     except Exception as e:
+        extra_times = {}
         print(f"# coarse-fraction estimate failed: {e}", file=sys.stderr)
 
     sites = int(np.prod(SOLVE_LAT))
@@ -248,6 +252,7 @@ def bench_mg_solve():
     }
     if coarse_frac is not None:
         out["mg_coarse_time_fraction"] = round(coarse_frac, 3)
+    out.update(extra_times)
     return out
 
 
