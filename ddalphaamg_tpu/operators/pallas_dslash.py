@@ -108,13 +108,38 @@ def _sub(a, b):
 # kernel
 # ---------------------------------------------------------------------------
 
-def _dslash_kernel(lattice, basis_name,
-                   pm_re, pm_im, p0_re, p0_im, pp_re, pp_im,
-                   ut_re, ut_im, utm_re, utm_im,
-                   uzyx_re, uzyx_im,
-                   cdiag, coff_re, coff_im,
-                   mask_last_ref, mask_first_ref,
-                   out_re, out_im):
+def _clover_kernel(p0_re, p0_im, cdiag, coff_re, coff_im, out_re, out_im):
+    """Clover-only apply (self-coupling / factorized-inverse application --
+    the reference's SSE clover / site-inverse kernels, src/sse_dirac.c and
+    block_diag_oo_inv, src/sse_oddeven_generic.c:208)."""
+    p0 = [[(p0_re[s, a, 0], p0_im[s, a, 0]) for a in range(3)] for s in range(4)]
+    for chir in range(2):
+        comp = [p0[2 * chir + i // 3][i % 3] for i in range(6)]
+        acc = [(cdiag[chir, i, 0] * comp[i][0],
+                cdiag[chir, i, 0] * comp[i][1]) for i in range(6)]
+        for k, (i, j) in enumerate(PAIRS):
+            c = (coff_re[chir, k, 0], coff_im[chir, k, 0])
+            acc[i] = _add(acc[i], _cmul(c, comp[j]))
+            acc[j] = _add(acc[j], _cmul_conj(c, comp[i]))
+        for i in range(6):
+            s, a = 2 * chir + i // 3, i % 3
+            out_re[s, a, 0] = acc[i][0]
+            out_im[s, a, 0] = acc[i][1]
+
+
+def _dslash_kernel(lattice, basis_name, mode, *refs):
+    """mode: 'full' (clover + hopping), 'hop' (hopping only -- the SAP
+    block hopping kernels, src/sse_oddeven_generic.c:27-302)."""
+    if mode == "full":
+        (pm_re, pm_im, p0_re, p0_im, pp_re, pp_im,
+         ut_re, ut_im, utm_re, utm_im, uzyx_re, uzyx_im,
+         cdiag, coff_re, coff_im,
+         mask_last_ref, mask_first_ref, out_re, out_im) = refs
+    else:
+        (pm_re, pm_im, p0_re, p0_im, pp_re, pp_im,
+         ut_re, ut_im, utm_re, utm_im, uzyx_re, uzyx_im,
+         mask_last_ref, mask_first_ref, out_re, out_im) = refs
+        cdiag = coff_re = coff_im = None
     basis = get_basis(basis_name) if basis_name else get_basis()
     co, val = basis.co, basis.val
     xn = lattice[3]
@@ -162,16 +187,22 @@ def _dslash_kernel(lattice, basis_name,
 
     # ---- clover: eta = C phi, packed Hermitian blocks ----
     eta = [[None] * 3 for _ in range(4)]
-    for chir in range(2):
-        comp = [p0[2 * chir + i // 3][i % 3] for i in range(6)]
-        acc = [(cdiag[chir, i, 0] * comp[i][0],
-                cdiag[chir, i, 0] * comp[i][1]) for i in range(6)]
-        for k, (i, j) in enumerate(PAIRS):
-            c = (coff_re[chir, k, 0], coff_im[chir, k, 0])
-            acc[i] = _add(acc[i], _cmul(c, comp[j]))
-            acc[j] = _add(acc[j], _cmul_conj(c, comp[i]))
-        for i in range(6):
-            eta[2 * chir + i // 3][i % 3] = acc[i]
+    if mode == "full":
+        for chir in range(2):
+            comp = [p0[2 * chir + i // 3][i % 3] for i in range(6)]
+            acc = [(cdiag[chir, i, 0] * comp[i][0],
+                    cdiag[chir, i, 0] * comp[i][1]) for i in range(6)]
+            for k, (i, j) in enumerate(PAIRS):
+                c = (coff_re[chir, k, 0], coff_im[chir, k, 0])
+                acc[i] = _add(acc[i], _cmul(c, comp[j]))
+                acc[j] = _add(acc[j], _cmul_conj(c, comp[i]))
+            for i in range(6):
+                eta[2 * chir + i // 3][i % 3] = acc[i]
+    else:
+        zero = p0[0][0][0] * 0.0
+        for s in range(4):
+            for a in range(3):
+                eta[s][a] = (zero, zero)
 
     def u_at(mu_local, which):
         """3x3 link matrix entries as (re, im) pairs."""
@@ -246,14 +277,16 @@ def _dslash_kernel(lattice, basis_name,
 # host-side wrapper
 # ---------------------------------------------------------------------------
 
-def build_dslash(lattice, basis_name=None, interpret=False):
-    """Returns d(linkT, linkT_prev_ok, links_zyx, clover_packed, phi) -> eta.
-
-    All operands in SoA layout.  Call signature of the returned fn:
-        fn(links_soa: CArray [4,3,3,T,Z,M],
-           cdiag: f32 [2,6,T,Z,M], coff: CArray [2,15,T,Z,M],
-           phi: CArray [4,3,T,Z,M]) -> CArray [4,3,T,Z,M]
-    """
+def build_dslash(lattice, basis_name=None, interpret=False, mode="full"):
+    """Returns the fused apply in SoA layout.  Call signature by mode:
+        'full':   fn(links_soa, cdiag, coff, phi) -> clover + hopping
+        'hop':    fn(links_soa, phi)              -> hopping only
+        'clover': fn(cdiag, coff, phi)            -> clover (self) only
+    links_soa: CArray [4,3,3,T,Z,M]; cdiag f32 [2,6,T,Z,M];
+    coff CArray [2,15,T,Z,M]; phi CArray [4,3,T,Z,M].
+    The hop/clover variants are the TPU analogs of the reference's SSE
+    block-hopping and site-clover(-inverse) kernels
+    (src/sse_oddeven_generic.c:27-302, sse_dirac.c)."""
     nt, nz = lattice[0], lattice[1]
     m = lattice[2] * lattice[3]
 
@@ -312,21 +345,49 @@ def build_dslash(lattice, basis_name=None, interpret=False):
     mask_first_arr = np.ascontiguousarray(
         np.broadcast_to((col == 0).astype(np.float32), (nz, m)))
 
-    kernel = partial(_dslash_kernel, tuple(lattice), basis_name)
-    flops_site = 1920  # reference model, src/init_generic.c:58-60
     nsites = nt * nz * m
-    bytes_site = 96 * 3 + 72 * 2 + 27 * 8 + 42 * 4 * 2 + 96
+    out_shape = (jax.ShapeDtypeStruct((4, 3, nt, nz, m), jnp.float32),
+                 jax.ShapeDtypeStruct((4, 3, nt, nz, m), jnp.float32))
+
+    if mode == "clover":
+        call = pl.pallas_call(
+            _clover_kernel,
+            grid=(nt,),
+            in_specs=[sb(0), sb(0), cdiag_blk, coff_blk, coff_blk],
+            out_specs=(out_blk, out_blk),
+            out_shape=out_shape,
+            cost_estimate=pl.CostEstimate(
+                flops=552 * nsites,
+                bytes_accessed=(96 + 42 * 4 * 2 + 96) * nsites,
+                transcendentals=0),
+            interpret=interpret,
+        )
+
+        def apply_clover(cdiag, coff, phi):
+            out_re, out_im = call(phi.re, phi.im, cdiag, coff.re, coff.im)
+            return cplx.CArray(out_re, out_im)
+
+        return apply_clover
+
+    kernel = partial(_dslash_kernel, tuple(lattice), basis_name, mode)
+    # reference flop models, src/init_generic.c:58-60
+    flops_site = 1920 if mode == "full" else 1368
+    bytes_site = (96 * 3 + 72 * 2 + 27 * 8 + 96
+                  + (42 * 4 * 2 if mode == "full" else 0))
+
+    specs = [sb(-1), sb(-1), sb(0), sb(0), sb(1), sb(1),
+             lb(0), lb(0), lb(-1), lb(-1),
+             lzyx, lzyx]
+    if mode == "full":
+        specs += [cdiag_blk, coff_blk, coff_blk]
+    specs += [mask_blk, mask_blk]
 
     call = pl.pallas_call(
         kernel,
         grid=(nt,),
-        in_specs=[sb(-1), sb(-1), sb(0), sb(0), sb(1), sb(1),
-                  lb(0), lb(0), lb(-1), lb(-1),
-                  lzyx, lzyx, cdiag_blk, coff_blk, coff_blk,
-                  mask_blk, mask_blk],
+        in_specs=specs,
         out_specs=(out_blk, out_blk),
-        out_shape=(jax.ShapeDtypeStruct((4, 3, nt, nz, m), jnp.float32),
-                   jax.ShapeDtypeStruct((4, 3, nt, nz, m), jnp.float32)),
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=flops_site * nsites,
             bytes_accessed=bytes_site * nsites,
@@ -334,14 +395,27 @@ def build_dslash(lattice, basis_name=None, interpret=False):
         interpret=interpret,
     )
 
-    def apply_fn(links_soa, cdiag, coff, phi):
+    if mode == "full":
+        def apply_fn(links_soa, cdiag, coff, phi):
+            ut = links_soa[T]
+            uzyx = cplx.CArray(links_soa.re[1:], links_soa.im[1:])
+            out_re, out_im = call(phi.re, phi.im, phi.re, phi.im,
+                                  phi.re, phi.im,
+                                  ut.re, ut.im, ut.re, ut.im,
+                                  uzyx.re, uzyx.im,
+                                  cdiag, coff.re, coff.im,
+                                  mask_last_arr, mask_first_arr)
+            return cplx.CArray(out_re, out_im)
+
+        return apply_fn
+
+    def apply_hop(links_soa, phi):
         ut = links_soa[T]
         uzyx = cplx.CArray(links_soa.re[1:], links_soa.im[1:])
         out_re, out_im = call(phi.re, phi.im, phi.re, phi.im, phi.re, phi.im,
                               ut.re, ut.im, ut.re, ut.im,
                               uzyx.re, uzyx.im,
-                              cdiag, coff.re, coff.im,
                               mask_last_arr, mask_first_arr)
         return cplx.CArray(out_re, out_im)
 
-    return apply_fn
+    return apply_hop

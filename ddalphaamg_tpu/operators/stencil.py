@@ -377,9 +377,10 @@ import functools
 
 
 @functools.lru_cache(maxsize=None)
-def _cached_pallas_dslash(lattice, basis_name, interpret):
+def _cached_pallas_dslash(lattice, basis_name, interpret, mode="full"):
     from .pallas_dslash import build_dslash
-    return build_dslash(lattice, basis_name=basis_name, interpret=interpret)
+    return build_dslash(lattice, basis_name=basis_name, interpret=interpret,
+                        mode=mode)
 
 
 @functools.lru_cache(maxsize=None)
@@ -390,7 +391,8 @@ def _cached_rollers(lattice, rdtype_name):
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["links", "links_intra", "clover", "clover_inv",
-                      "cdiag", "coff", "even", "odd"],
+                      "cdiag", "coff", "cdiag_inv", "coff_inv",
+                      "even", "odd"],
          meta_fields=["geom", "use_pallas"])
 @dataclasses.dataclass(frozen=True)
 class WilsonStencilSoA:
@@ -410,6 +412,8 @@ class WilsonStencilSoA:
     clover_inv: object
     cdiag: jnp.ndarray      # packed Hermitian clover (Pallas operands)
     coff: object
+    cdiag_inv: jnp.ndarray  # packed clover inverse (Pallas self_inv)
+    coff_inv: object
     even: jnp.ndarray       # [T,Z,M]
     odd: jnp.ndarray
     geom: Geometry
@@ -429,14 +433,17 @@ class WilsonStencilSoA:
         intra = op.links * jnp.asarray(_link_intra_mask(geom), dtype=rdtype)
         links = fast.links_to_soa(op.links)
         clover = fast.clover_to_soa(op.clover)
+        clover_inv = fast.clover_to_soa(cplx.herm_inv(op.clover))
         cdiag, coff = pallas_dslash.pack_clover(clover)
+        cdiag_inv, coff_inv = pallas_dslash.pack_clover(clover_inv)
         par = (np.indices(geom.lattice).sum(axis=0) % 2 == 0).astype(np.float64)
         return cls(
             links=links,
             links_intra=fast.links_to_soa(intra),
             clover=clover,
-            clover_inv=fast.clover_to_soa(cplx.herm_inv(op.clover)),
+            clover_inv=clover_inv,
             cdiag=cdiag, coff=coff,
+            cdiag_inv=cdiag_inv, coff_inv=coff_inv,
             even=fast.lattice_mask_to_soa(par, rdtype),
             odd=fast.lattice_mask_to_soa(1.0 - par, rdtype),
             geom=geom, use_pallas=bool(use_pallas))
@@ -464,19 +471,39 @@ class WilsonStencilSoA:
 
     def block_op(self, v):
         from . import fast
+        if self.use_pallas:
+            # the block (Schwarz) operator IS the fused kernel with the
+            # boundary-masked links (reference SSE block_d_plus_clover,
+            # src/sse_dirac_generic.c:27-124)
+            fn = _cached_pallas_dslash(self.geom.lattice, None, False)
+            return fn(self.links_intra, self.cdiag, self.coff, v)
         return (fast.clover_apply_soa(self.clover, v)
                 + fast.dslash_hopping_soa(self.links_intra, v, self._roll()))
 
     def self_op(self, v):
         from . import fast
+        if self.use_pallas:
+            fn = _cached_pallas_dslash(self.geom.lattice, None, False,
+                                       mode="clover")
+            return fn(self.cdiag, self.coff, v)
         return fast.clover_apply_soa(self.clover, v)
 
     def self_inv(self, v, mask):
         from . import fast
+        if self.use_pallas:
+            # packed-inverse clover application (reference site Cholesky
+            # solves, src/sse_oddeven_generic.c:208)
+            fn = _cached_pallas_dslash(self.geom.lattice, None, False,
+                                       mode="clover")
+            return fn(self.cdiag_inv, self.coff_inv, mask * v)
         return fast.clover_apply_soa(self.clover_inv, mask * v)
 
     def hop_intra(self, v):
         from . import fast
+        if self.use_pallas:
+            fn = _cached_pallas_dslash(self.geom.lattice, None, False,
+                                       mode="hop")
+            return fn(self.links_intra, v)
         return fast.dslash_hopping_soa(self.links_intra, v, self._roll())
 
     # --- layout hooks (SAP smoother / MG boundary) ---

@@ -162,6 +162,8 @@ def shard_stencil(mesh: Mesh, s):
             clover_inv=put(s.clover_inv, soa_spec(mesh, lat, lead=3)),
             cdiag=put(s.cdiag, soa_spec(mesh, lat, lead=2)),
             coff=put(s.coff, soa_spec(mesh, lat, lead=2)),
+            cdiag_inv=put(s.cdiag_inv, soa_spec(mesh, lat, lead=2)),
+            coff_inv=put(s.coff_inv, soa_spec(mesh, lat, lead=2)),
             even=put(s.even, soa_spec(mesh, lat)),
             odd=put(s.odd, soa_spec(mesh, lat)),
         )

@@ -184,6 +184,7 @@ def soa_dslash_shmap(mesh, stencil, phi, basis_name=None):
         links=specs["links"], links_intra=specs["links_intra"],
         clover=specs["clover"], clover_inv=specs["clover_inv"],
         cdiag=specs["cdiag"], coff=specs["coff"],
+        cdiag_inv=specs["cdiag"], coff_inv=specs["coff"],
         even=specs["even"], odd=specs["odd"],
         geom=stencil.geom, use_pallas=stencil.use_pallas)
 
