@@ -223,11 +223,18 @@ def bench_mg_solve():
             sm.s, sm.colors, v, v, lvl.cfg.post_smooth_iter,
             sm.block_iter, sm.odd_even), v0)
         t_op = timeit(_jax.jit(lvl.stencil.full_op), v0)
-        fine_t = lvl.cfg.n_cy * (t_sm + 2 * t_op)
-        coarse_frac = max(0.0, min(1.0, (t_cycle - fine_t) / t_cycle))
-        extra_times = {"cycle_ms": round(t_cycle * 1e3, 2),
-                       "smoother_ms": round(t_sm * 1e3, 2),
-                       "fine_op_ms": round(t_op * 1e3, 2)}
+        # subtract the fixed dispatch roundtrip from each measurement --
+        # on the relay it (~25 ms) dwarfs the in-device times
+        import jax.numpy as _jnp
+        tiny = _jax.jit(lambda v: v.re[:1, :1, :1] if hasattr(v, "re") else v)
+        rt = timeit(lambda v: tiny(v), v0)
+        cyc, smo, op = (max(t - rt, 1e-6) for t in (t_cycle, t_sm, t_op))
+        fine_t = lvl.cfg.n_cy * (smo + 2 * op)
+        coarse_frac = max(0.0, min(1.0, (cyc - fine_t) / cyc))
+        extra_times = {"cycle_ms": round(cyc * 1e3, 2),
+                       "smoother_ms": round(smo * 1e3, 2),
+                       "fine_op_ms": round(op * 1e3, 2),
+                       "dispatch_ms": round(rt * 1e3, 2)}
     except Exception as e:
         extra_times = {}
         print(f"# coarse-fraction estimate failed: {e}", file=sys.stderr)

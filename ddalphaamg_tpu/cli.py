@@ -53,7 +53,29 @@ def main(argv=None):
         run_scan(params, sc)
         return 0
 
-    solver = api.Solver(params)
+    # process grid from the ini geometry (the reference's run script derives
+    # np = prod(global/local lattice), run:69-100): a local lattice smaller
+    # than the global one requests a device mesh of the quotient shape
+    mesh = None
+    d0 = params.depth[0]
+    if d0.local_lattice:
+        import numpy as _np
+
+        import jax
+
+        from . import parallel
+        dims = tuple(g // l for g, l in zip(d0.global_lattice,
+                                            d0.local_lattice))
+        ndev = int(_np.prod(dims))
+        if ndev > 1:
+            if len(jax.devices()) >= ndev:
+                mesh = parallel.make_solver_mesh(dims=dims)
+                print(f"device mesh {dims} over {ndev} devices")
+            else:
+                print(f"| warning: ini requests a {dims} process grid "
+                      f"({ndev} devices), only {len(jax.devices())} "
+                      f"available -- running single-device |")
+    solver = api.Solver(params, mesh=mesh)
 
     print(f"configuration: {params.configuration}")
     plaq, header = solver.read_conf()

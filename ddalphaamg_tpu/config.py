@@ -79,7 +79,8 @@ class SolverParams:
     def validate(self):
         """Divisibility / consistency checks (reference validate_parameters,
         src/init.c:964-1046)."""
-        assert 1 <= self.num_levels <= 4 or self.num_levels > 0
+        if self.num_levels < 1:
+            raise ValueError(f"number of levels must be >= 1, got {self.num_levels}")
         self._derive_geometry()
         for i in range(self.num_levels - 1):
             d, dn = self.depth[i], self.depth[i + 1]

@@ -24,7 +24,7 @@ XLA re-shards or replicates them.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +32,7 @@ import numpy as np
 
 from .. import cplx
 from ..geometry import Geometry
-from ..operators.coarse import CoarseOperator, coarse_hop
+from ..operators.coarse import CoarseOperator
 from ..operators.stencil import CoarseStencil, WilsonStencil, WilsonStencilSoA
 from ..operators.wilson import WilsonOperator
 from ..smoothers.sap import SchwarzPreconditioner

@@ -23,10 +23,10 @@ comm/compute overlap, without hand-scheduling)."""
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
-import jax.numpy as jnp
+
 import numpy as np
 from jax import lax
 from jax.sharding import PartitionSpec as P
