@@ -171,11 +171,11 @@ def bench_mg_solve():
                             right_hand_side="random", seed=5)
     p.depth = [config.DepthParams(global_lattice=SOLVE_LAT,
                                   block_lattice=(2, 2, 2, 2),
-                                  test_vectors=12, setup_iter=2,
+                                  test_vectors=16, setup_iter=3,
                                   post_smooth_iter=2, block_iter=4),
                config.DepthParams(global_lattice=(8, 8, 8, 8),
                                   block_lattice=(2, 2, 2, 2),
-                                  test_vectors=12, setup_iter=2,
+                                  test_vectors=16, setup_iter=3,
                                   post_smooth_iter=2, block_iter=4)]
     solver = api.Solver(p)
     U = smooth_su3(SOLVE_LAT, seed=0)
