@@ -27,8 +27,13 @@ if not os.environ.get("DDAAMG_NO_COMPILE_CACHE"):
     try:
         # TPU only: XLA:CPU persists machine-feature-specific AOT code that
         # can be loaded in a mismatched context (SIGILL risk); the win is on
-        # the remote-compile TPU relay anyway.
-        if jax.default_backend() == "tpu":
+        # the remote-compile TPU relay anyway.  Decide from the platform
+        # *request* (env), not jax.default_backend(): backend init here would
+        # connect to the TPU relay at import time, before a --platform cpu
+        # override can take effect (and blocks every CLI if the relay is
+        # unreachable).
+        _plat = (os.environ.get("JAX_PLATFORMS") or "").lower()
+        if _plat and "cpu" not in _plat:
             _cache_dir = (os.environ.get("JAX_COMPILATION_CACHE_DIR")
                           or os.path.expanduser("~/.cache/ddalphaamg_tpu/xla"))
             os.makedirs(_cache_dir, exist_ok=True)

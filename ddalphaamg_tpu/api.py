@@ -187,6 +187,9 @@ class Solver:
             scheme=_SCHEMES.get(p.method, "red_black"),
             dtype=self._inner_dtype, split=default_split(),
             seed=int(time.time()) if p.randomize_test_vectors else p.seed,
+            coarse_block_bf16=(p.coarse_block_bf16
+                               if p.coarse_block_bf16 is not None
+                               else default_split()),
         )
 
     def setup(self) -> SetupStatus:

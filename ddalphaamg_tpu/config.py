@@ -58,6 +58,9 @@ class SolverParams:
     method: int = 2                 # -1 CGN, 0 GMRES, 1-3 FGMRES+Schwarz, 4 FGMRES+OE-GMRES, 5 +BiCGstab
     interpolation: int = 2          # 0 off, 2 bootstrap F-cycle
     mixed_precision: int = 1
+    # bf16 storage of the coarse-level stencil blocks (fields stay f32);
+    # None = auto (on for the TPU split/SoA path, off on CPU)
+    coarse_block_bf16: Optional[bool] = None
     print_mode: int = 1
     randomize_test_vectors: bool = False
     seed: int = 42
@@ -125,6 +128,7 @@ _BOOL_KEYS = {
     "setup update": "scan_re_setup",
     "track error": "track_error",
     "compare with CGN error": "track_cgn_error",
+    "coarse block bf16": "coarse_block_bf16",
 }
 _INT_KEYS = {
     "format": "format",

@@ -116,6 +116,11 @@ class MGConfig:
     # the coarsest level is replicated (the reference's "gathering" analog,
     # src/gathering_generic.c:44-209).  None = single device.
     mesh: object = None
+    # store coarse-level stencil blocks in bfloat16 (fields/accumulation
+    # stay in `dtype`): halves the HBM traffic of the coarse applies that
+    # dominate TPU solve time.  Setup/Galerkin always run full precision;
+    # only the traced-cycle view of each coarse stencil is compressed.
+    coarse_block_bf16: bool = False
 
     @property
     def use_soa(self):
@@ -146,6 +151,8 @@ class MGLevel:
     test_vectors: Optional[jnp.ndarray] = None  # [N, *field] (stencil layout)
     next: Optional["MGLevel"] = None
     galerkin_op: Optional[object] = None  # depth-0 logical-layout operator
+    # (source_stencil, compressed_stencil) cache for coarse_block_bf16
+    cycle_stencil: Optional[tuple] = None
 
     @property
     def is_coarsest(self):
@@ -313,12 +320,24 @@ class Multigrid:
             lvl = lvl.next
         return out
 
+    def _cycle_view(self, lvl: MGLevel):
+        """The stencil the traced cycle sees at this level: the production
+        stencil, or (coarse_block_bf16) a block-compressed copy, cached and
+        invalidated by identity whenever re_setup/sharding replaces the
+        stencil."""
+        if (not self.cfg.coarse_block_bf16 or lvl.depth == 0
+                or not self._split or not hasattr(lvl.stencil, "compress")):
+            return lvl.stencil
+        if lvl.cycle_stencil is None or lvl.cycle_stencil[0] is not lvl.stencil:
+            lvl.cycle_stencil = (lvl.stencil, lvl.stencil.compress())
+        return lvl.cycle_stencil[1]
+
     def _level_data(self):
         """The hierarchy's array content as a pytree (jit argument) --
         stencils are rebuilt by re_setup, so they must be arguments, not
         trace-time constants."""
         return tuple(
-            {"stencil": lvl.stencil, "P": lvl.P,
+            {"stencil": self._cycle_view(lvl), "P": lvl.P,
              "colors": None if lvl.smoother is None else lvl.smoother.colors}
             for lvl in self._levels())
 

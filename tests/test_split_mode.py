@@ -150,3 +150,43 @@ def test_coarse_soa_layout_parity(conf8):
         results["soa"].iterations, results["logical"].iterations)
     np.testing.assert_allclose(np.asarray(results["soa"].x),
                                np.asarray(results["logical"].x), atol=2e-6)
+
+
+@pytest.mark.slow
+def test_coarse_block_bf16(conf4):
+    """coarse_block_bf16 stores the coarse stencil blocks in bfloat16 (the
+    fields and accumulation stay f32).  The whole coarse hierarchy sits
+    inside the flexible outer solver's preconditioner, so the perturbation
+    must cost at most a couple of outer iterations while halving the HBM
+    traffic of the dominant coarse applies (bench lever on TPU)."""
+    U, _ = dio.read_gauge_field(conf4, anti_periodic=True)
+    op = wilson.WilsonOperator.from_gauge(U, m0=M0, csw=CSW)
+    b = cplx.as_carray(np.ones((*LAT, 4, 3), dtype=complex))
+
+    results = {}
+    for bf16 in (False, True):
+        cfg = MGConfig(levels=[
+            LevelConfig(lattice=LAT, block=(2, 2, 2, 2),
+                        post_smooth_iter=2, block_iter=4,
+                        num_test_vectors=4, setup_iter=1),
+            LevelConfig(lattice=(2, 2, 2, 2), block=(1, 1, 1, 1)),
+        ], coarse_layout="soa", split=True, seed=7,
+            coarse_block_bf16=bf16)
+        mg = Multigrid(op, cfg)
+        # compressed views exist exactly on the coarse levels when enabled
+        data = mg._level_data()
+        comp = [d["stencil"] is not lvl.stencil
+                for d, lvl in zip(data, mg._levels())]
+        assert comp == [False, bf16], comp
+        if bf16:
+            assert data[1]["stencil"].A.re.dtype == jnp.bfloat16
+            assert data[1]["stencil"].even.dtype == jnp.float32
+        mg.bootstrap_setup()
+        res = fgmres(lambda v: wilson.d_plus_clover(op, v), b,
+                     preconditioner=mg, tol=1e-8, restart_length=50,
+                     max_restarts=10)
+        assert res.converged
+        results[bf16] = res
+
+    assert results[True].iterations <= results[False].iterations + 2, (
+        results[True].iterations, results[False].iterations)
