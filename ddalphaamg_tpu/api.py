@@ -190,7 +190,20 @@ class Solver:
             coarse_block_bf16=(p.coarse_block_bf16
                                if p.coarse_block_bf16 is not None
                                else default_split()),
+            coarsest_direct=(p.coarsest_direct
+                             if p.coarsest_direct is not None
+                             else default_split() and self._coarsest_n() <= 8192),
         )
+
+    def _coarsest_n(self) -> int:
+        """Coarsest-problem size sites x 2 N_tv (dense-inverse feasibility:
+        the [n, n] inverse costs ~(2n)^3 flops per setup rebuild and
+        8 n^2 bytes of HBM, so auto-enable only for n <= 8192)."""
+        p = self.p
+        if p.num_levels < 2:
+            return 1 << 30
+        sites = int(np.prod(p.depth[p.num_levels - 1].global_lattice))
+        return sites * 2 * p.depth[p.num_levels - 2].test_vectors
 
     def setup(self) -> SetupStatus:
         """Build the preconditioner (reference dd_alpha_amg_setup =

@@ -61,6 +61,10 @@ class SolverParams:
     # bf16 storage of the coarse-level stencil blocks (fields stay f32);
     # None = auto (on for the TPU split/SoA path, off on CPU)
     coarse_block_bf16: Optional[bool] = None
+    # coarsest-level direct solve via a precomputed dense inverse;
+    # None = auto (on for the TPU path when the coarsest problem is small
+    # enough that one MXU matvec beats tens of latency-bound GCR steps)
+    coarsest_direct: Optional[bool] = None
     print_mode: int = 1
     randomize_test_vectors: bool = False
     seed: int = 42
@@ -129,6 +133,7 @@ _BOOL_KEYS = {
     "track error": "track_error",
     "compare with CGN error": "track_cgn_error",
     "coarse block bf16": "coarse_block_bf16",
+    "coarsest direct": "coarsest_direct",
 }
 _INT_KEYS = {
     "format": "format",

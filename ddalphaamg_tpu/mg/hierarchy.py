@@ -66,6 +66,12 @@ def _normalize(v):
     return v * jax.lax.rsqrt(cplx.norm2(v))
 
 
+@partial(jax.jit, static_argnames=("rdtype",))
+def _dense_inverse_kernel(stencil, rdtype=None):
+    from ..operators.stencil import dense_inverse
+    return dense_inverse(stencil, rdtype=rdtype)
+
+
 @jax.jit
 def _gram_schmidt_kernel(tvs):
     n = tvs.shape[0]
@@ -121,6 +127,11 @@ class MGConfig:
     # dominate TPU solve time.  Setup/Galerkin always run full precision;
     # only the traced-cycle view of each coarse stencil is compressed.
     coarse_block_bf16: bool = False
+    # replace the coarsest-level GCR with a precomputed dense inverse
+    # (operators/stencil.dense_inverse): tens of latency-bound Krylov
+    # iterations per cycle become ONE MXU matvec.  Rebuilt by re_setup;
+    # only sensible while sites x 2N_tv stays a few thousand.
+    coarsest_direct: bool = False
 
     @property
     def use_soa(self):
@@ -153,6 +164,8 @@ class MGLevel:
     galerkin_op: Optional[object] = None  # depth-0 logical-layout operator
     # (source_stencil, compressed_stencil) cache for coarse_block_bf16
     cycle_stencil: Optional[tuple] = None
+    # [n, n] inverse of the full coarsest operator (coarsest_direct)
+    dense_inv: Optional[object] = None
 
     @property
     def is_coarsest(self):
@@ -274,7 +287,17 @@ class Multigrid:
                 levels[-1].next = level
             levels.append(level)
             self._shard_level(level)
+        self._maybe_build_dense_inv(levels[-1])
         return levels[0]
+
+    def _maybe_build_dense_inv(self, lvl: MGLevel):
+        """(Re)build the coarsest-level dense inverse (coarsest_direct)."""
+        if not self.cfg.coarsest_direct or lvl.depth == 0:
+            lvl.dense_inv = None
+            return
+        rdtype = (jnp.bfloat16 if self.cfg.coarse_block_bf16 and self._split
+                  else None)
+        lvl.dense_inv = _dense_inverse_kernel(lvl.stencil, rdtype=rdtype)
 
     def _initial_test_vectors(self, level: MGLevel, key) -> jnp.ndarray:
         """Random vectors progressively smoothed with 1, 2, 3 SAP cycles
@@ -338,14 +361,19 @@ class Multigrid:
         trace-time constants."""
         return tuple(
             {"stencil": self._cycle_view(lvl), "P": lvl.P,
+             "dense_inv": lvl.dense_inv,
              "colors": None if lvl.smoother is None else lvl.smoother.colors}
             for lvl in self._levels())
 
-    def _coarsest_solve_traced(self, s, geom, b, tol):
+    def _coarsest_solve_traced(self, s, geom, b, tol, dense_inv=None):
         """Odd-even Schur GCR on the coarsest level, fully on device
-        (coarse_solve_odd_even_PRECISION, src/coarse_oddeven_generic.c:1139).
+        (coarse_solve_odd_even_PRECISION, src/coarse_oddeven_generic.c:1139);
+        or, with coarsest_direct, one matvec with the precomputed inverse.
         b and the result are in the level's STENCIL layout."""
         cfg = self.cfg
+        if dense_inv is not None:
+            from ..operators.stencil import dense_solve
+            return dense_solve(dense_inv, b), jnp.float32(1.0)
         use_oe = cfg.odd_even and all(e % 2 == 0 for e in geom.lattice)
         if use_oe:
             hop = s.hop
@@ -388,7 +416,8 @@ class Multigrid:
                 restrict(level.agg, data[depth]["P"], s.to_logical(r)))
             if nxt.is_coarsest:
                 x_cs, it = self._coarsest_solve_traced(
-                    ns, nxt.geom, b_c, cfg.coarse_tol)
+                    ns, nxt.geom, b_c, cfg.coarse_tol,
+                    dense_inv=data[depth + 1].get("dense_inv"))
                 citers = citers + it
             elif cfg.kcycle:
                 def kprec(v, _d=depth + 1):
@@ -524,8 +553,9 @@ class Multigrid:
         b_c = ns.from_logical(
             restrict(level.agg, data[depth]["P"], s.to_logical(tv)))
         if nxt.is_coarsest:
-            x_c, _ = self._coarsest_solve_traced(ns, nxt.geom, b_c,
-                                                 cfg.coarse_tol)
+            x_c, _ = self._coarsest_solve_traced(
+                ns, nxt.geom, b_c, cfg.coarse_tol,
+                dense_inv=data[depth + 1].get("dense_inv"))
         else:
             # plain (unpreconditioned) coarse GMRES, reference gmres built
             # with prec=_NOTHING (setup_generic.c:335-336)
@@ -642,6 +672,8 @@ class Multigrid:
             if nxt.smoother is not None:
                 nxt.smoother.replace_stencil(nxt.stencil)
             self._shard_level(nxt)
+            if nxt.is_coarsest:
+                self._maybe_build_dense_inv(nxt)
             if depth_only:
                 break
             lvl = nxt

@@ -394,6 +394,56 @@ def _transpose_any(a, axes):
     return jnp.transpose(a, axes)
 
 
+def dense_inverse(s, rdtype=None, chunk=256):
+    """Dense inverse of the stencil's full operator (for the coarsest-level
+    direct solve, MGConfig.coarsest_direct).
+
+    TPU rationale: the coarsest-level GCR runs tens of sequential,
+    latency-bound iterations per V-cycle -- dozens of small HLOs each --
+    while the whole coarsest problem is only n = sites x 2N_tv unknowns
+    (8192 at a 4^4 coarsest with 16 test vectors).  A precomputed [n, n]
+    inverse turns every coarsest solve into ONE MXU matvec.  The reference
+    has no analog (its coarsest CPU GMRES is cheap relative to MPI ranks,
+    src/coarse_oddeven_generic.c:1139); on TPU the trade flips.
+
+    The matrix is materialized by applying the operator to the identity
+    basis (chunked vmap -- layout/convention proof), and inverted via the
+    real 2n x 2n embedding [[Re, -Im], [Im, Re]] whose inverse is
+    [[X, -Y], [Y, X]] with X + iY = (Re + i Im)^-1 (the TPU runtime
+    executes no complex HLOs).  `rdtype` optionally narrows the stored
+    inverse (bf16 halves the HBM read per matvec; the coarsest tolerance
+    is 5e-2, so ~4e-3 block noise is immaterial).
+    """
+    shape = s.field_shape
+    n = int(np.prod(shape))
+
+    def col(ei):
+        return s.full_op(ei.reshape(*shape)).reshape(-1)
+
+    if cplx.is_split(s.A):
+        eye = cplx.CArray(jnp.eye(n, dtype=s.even.dtype),
+                          jnp.zeros((n, n), dtype=s.even.dtype))
+        cols = jax.lax.map(col, eye, batch_size=min(n, chunk))
+        dre, dim = cols.re.T, cols.im.T      # D[i, k] = (D e_k)[i]
+        r = jnp.block([[dre, -dim], [dim, dre]])
+        rinv = jnp.linalg.inv(r)
+        inv = cplx.CArray(rinv[:n, :n], rinv[n:, :n])
+        return inv if rdtype is None else inv.astype_real(rdtype)
+    eye = jnp.eye(n, dtype=s.dtype)
+    cols = jax.lax.map(col, eye, batch_size=min(n, chunk))
+    return jnp.linalg.inv(cols.T)
+
+
+def dense_solve(inv, b):
+    """x = inv @ b with b in the stencil's field layout (one matvec)."""
+    bf = b.reshape(-1)
+    if cplx.is_split(inv) and inv.re.dtype != bf.re.dtype:
+        # widen narrow-stored inverses at multiply time (fused by XLA;
+        # accumulation stays in the field dtype)
+        inv = inv.astype_real(bf.re.dtype)
+    return cplx.einsum("ij,j->i", inv, bf).reshape(*b.shape)
+
+
 # ---------------------------------------------------------------------------
 # TPU fast-path fine stencil: split-complex SoA layout + Pallas Dslash
 # ---------------------------------------------------------------------------

@@ -190,3 +190,74 @@ def test_coarse_block_bf16(conf4):
 
     assert results[True].iterations <= results[False].iterations + 2, (
         results[True].iterations, results[False].iterations)
+
+
+def test_dense_inverse_solves_coarsest(conf4):
+    """operators/stencil.dense_inverse materializes the coarsest operator by
+    applying it to the identity basis and inverts via the real 2n x 2n
+    embedding; one matvec with the result must solve the coarsest system
+    to rounding (the coarsest_direct fast path, one MXU matmul instead of
+    tens of latency-bound GCR iterations)."""
+    from ddalphaamg_tpu.operators.stencil import dense_inverse, dense_solve
+
+    U, _ = dio.read_gauge_field(conf4, anti_periodic=True)
+    op = wilson.WilsonOperator.from_gauge(cplx.as_carray(U), m0=M0, csw=CSW)
+    cfg = MGConfig(levels=[
+        LevelConfig(lattice=LAT, block=(2, 2, 2, 2), post_smooth_iter=2,
+                    block_iter=4, num_test_vectors=4, setup_iter=1),
+        LevelConfig(lattice=(2, 2, 2, 2), block=(1, 1, 1, 1)),
+    ], coarse_layout="soa", split=True, seed=7)
+    mg = Multigrid(op, cfg)
+    s = list(mg._levels())[-1].stencil
+
+    rng = np.random.default_rng(0)
+    b = cplx.as_carray(rng.normal(size=s.field_shape)
+                       + 1j * rng.normal(size=s.field_shape))
+    b = cplx.CArray(b.re.astype(s.even.dtype), b.im.astype(s.even.dtype))
+    bn = float(np.sqrt(cplx.norm2(b)))
+
+    inv = dense_inverse(s)
+    r = s.full_op(dense_solve(inv, b))
+    err = float(np.sqrt(cplx.norm2(cplx.CArray(r.re - b.re, r.im - b.im)))) / bn
+    assert err < 1e-4, err
+
+    # bf16-stored inverse: good to ~1e-2 -- far below the 5e-2 coarse_tol
+    inv16 = dense_inverse(s, rdtype=jnp.bfloat16)
+    assert inv16.re.dtype == jnp.bfloat16
+    r16 = s.full_op(dense_solve(inv16, b))
+    e16 = float(np.sqrt(cplx.norm2(
+        cplx.CArray(r16.re - b.re, r16.im - b.im)))) / bn
+    assert e16 < 5e-2, e16
+
+
+@pytest.mark.slow
+def test_coarsest_direct_solve_parity(conf4):
+    """A full MG solve with coarsest_direct (precomputed dense inverse on
+    the coarsest level) converges in the same number of outer iterations
+    as the GCR coarsest solve: the inverse solves the coarsest system
+    *beyond* the 5e-2 GCR tolerance, so the preconditioner only gets
+    stronger."""
+    U, _ = dio.read_gauge_field(conf4, anti_periodic=True)
+    op = wilson.WilsonOperator.from_gauge(U, m0=M0, csw=CSW)
+    b = cplx.as_carray(np.ones((*LAT, 4, 3), dtype=complex))
+
+    results = {}
+    for direct in (False, True):
+        cfg = MGConfig(levels=[
+            LevelConfig(lattice=LAT, block=(2, 2, 2, 2),
+                        post_smooth_iter=2, block_iter=4,
+                        num_test_vectors=4, setup_iter=1),
+            LevelConfig(lattice=(2, 2, 2, 2), block=(1, 1, 1, 1)),
+        ], coarse_layout="soa", split=True, seed=7,
+            coarsest_direct=direct)
+        mg = Multigrid(op, cfg)
+        assert (list(mg._levels())[-1].dense_inv is not None) == direct
+        mg.bootstrap_setup()
+        res = fgmres(lambda v: wilson.d_plus_clover(op, v), b,
+                     preconditioner=mg, tol=1e-8, restart_length=50,
+                     max_restarts=10)
+        assert res.converged
+        results[direct] = res
+
+    assert results[True].iterations <= results[False].iterations + 1, (
+        results[True].iterations, results[False].iterations)
