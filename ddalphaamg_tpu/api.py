@@ -462,6 +462,136 @@ class Solver:
             2, 3, 4, 5, 0, 1)
         return FGMRESResult(x_log, int(iters), relres, converged, resvec)
 
+    def _solve_df_multi(self, rhs_batch, tol, x0=None):
+        """Batched multi-RHS production outer loop: _solve_df_device with
+        every per-restart device program vmapped over the B right-hand
+        sides (Multigrid.inner_restart_batch).  One propagator = 12 RHS;
+        batching feeds the MXU (B, 2N, 2N) coarse matmuls and pays the
+        ~26 ms relay dispatch once per restart for the WHOLE batch.  No
+        reference analog (SURVEY 2.14.8: multiple-RHS absent upstream)."""
+        import jax
+
+        from .operators import dfloat as dfm
+        from .utils import host_array
+
+        p = self.p
+        lat = self.lattice
+        t, z, y, x_ = lat
+        wdf, _ = self._wilson_df()
+
+        def to_soa64(a64):
+            return np.transpose(a64.reshape(-1, *lat, 4, 3),
+                                (0, 5, 6, 1, 2, 3, 4)).reshape(
+                                    -1, 4, 3, t, z, y * x_)
+
+        b64 = np.asarray(rhs_batch, np.complex128).reshape(-1, *lat, 4, 3)
+        B = b64.shape[0]
+        b_cdf = dfm.cdf_from64(to_soa64(b64))
+        norm_b = np.linalg.norm(b64.reshape(B, -1), axis=1)
+        norm_b = np.where(norm_b == 0, 1.0, norm_b)
+
+        # batched views of the cached outer building blocks; the jit
+        # wrappers are cached on self so repeated solves never recompile
+        if getattr(self, "_df_multi_fns", None) is None \
+                or self._df_multi_fns[0] != lat:
+            residual, extract_r32, axpy = dfm.build_outer_fns(lat)
+            self._df_multi_fns = (
+                lat,
+                jax.jit(jax.vmap(residual, in_axes=(None, 0, 0))),
+                jax.jit(jax.vmap(extract_r32)),
+                jax.jit(jax.vmap(axpy)))
+        _, residual_b, extract_b, axpy_b = self._df_multi_fns
+
+        if x0 is not None:
+            x = dfm.cdf_from64(to_soa64(np.asarray(x0, np.complex128)))
+        else:
+            zero = jnp.zeros((B, 4, 3, t, z, y * x_), jnp.float32)
+            x = dfm.CDF(dfm.DF(zero, zero), dfm.DF(zero, zero))
+
+        # device-resident GCR basis memory scales with B: shrink the
+        # restart length cap accordingly (see _solve_df_device)
+        n_dof = int(np.prod(lat)) * 12
+        m_cap = int(os.environ.get(
+            "DDAAMG_INNER_M_CAP",
+            max(5, min(p.restart_length, 12_000_000 // max(n_dof * B, 1)))))
+
+        it_handles = []
+        resvec = []
+        relres = np.ones(B)
+        converged = np.zeros(B, bool)
+        r_cdf = b_cdf
+        for restart in range(p.max_restarts + 1):
+            if restart == 0 and x0 is None:
+                nr = norm_b.copy()
+            else:
+                r_cdf, rn2 = residual_b(wdf, b_cdf, x)
+                arr = np.asarray(host_array(rn2))       # [B, 2] (hi, lo)
+                nr = np.sqrt(np.maximum(arr[:, 0] + arr[:, 1], 0.0))
+            relres = nr / norm_b
+            resvec.append(relres.copy())
+            converged = relres < tol
+            if converged.all() or restart == p.max_restarts:
+                break
+            # per-lane remaining reduction (clipped as in _solve_df_device);
+            # converged lanes get tol 2.0 -> the vmapped early-exit GCR
+            # freezes them at iteration 0 with a zero correction
+            rel_target = np.where(
+                converged, 2.0,
+                np.maximum(tol * norm_b / np.maximum(nr, 1e-300), 1e-5))
+            zc, it, cit = self.mg.inner_restart_batch(
+                extract_b(r_cdf), rel_target, m=m_cap)
+            x = axpy_b(x, zc)
+            it_handles.append((it, cit))
+        its = np.zeros(B)
+        cits = np.zeros(B)
+        for it, cit in it_handles:
+            its += np.asarray(host_array(it))
+            cits += np.asarray(host_array(cit))
+        if self.mg is not None:
+            self.mg.stats["coarse_iterations"] = (
+                self.mg.stats["coarse_iterations"] + float(cits.sum()))
+        x_log = dfm.cdf_to64(x).reshape(B, 4, 3, t, z, y, x_).transpose(
+            0, 3, 4, 5, 6, 1, 2)
+        return x_log, its, relres, converged, resvec
+
+    def solve_multi(self, rhs_batch, tol: Optional[float] = None
+                    ) -> tuple[np.ndarray, list]:
+        """Solve D x_i = rhs_i for a stack of right-hand sides
+        [B, T,Z,Y,X,4,3] with one setup.  On the TPU production path all B
+        systems advance together inside each device program (vmapped
+        double-float restarts); otherwise the systems are solved
+        sequentially against the shared preconditioner.  Returns
+        (x [B,...], [SolveInfo] * B)."""
+        assert self.op is not None
+        p = self.p
+        tol = tol if tol is not None else p.tol
+        rhs_batch = np.asarray(rhs_batch)
+        B = rhs_batch.shape[0]
+
+        if (self.mg is not None and self._U_host is not None
+                and default_split()
+                and not os.environ.get("DDAAMG_HOST_OUTER")):
+            if self.mg is not None:
+                self.mg.stats["coarse_iterations"] = 0
+                self.mg.stats["coarse_solves"] = 0
+            t0 = time.time()
+            x_log, its, relres, converged, _ = self._solve_df_multi(
+                rhs_batch, tol)
+            dt = time.time() - t0
+            from .profiling import hbm_highwater_mb
+            mem = hbm_highwater_mb()
+            infos = [SolveInfo(iterations=int(its[i]), relres=float(relres[i]),
+                               converged=bool(converged[i]), solve_time=dt / B,
+                               memory_mb=mem) for i in range(B)]
+            return x_log, infos
+
+        xs, infos = [], []
+        for i in range(B):
+            xi, info = self.solve(rhs_batch[i], tol=tol)
+            xs.append(np.asarray(xi))
+            infos.append(info)
+        return np.stack(xs), infos
+
     def true_residual(self, x, rhs) -> float:
         """||rhs - D x|| / ||rhs|| against the f64-accurate operator (the
         reference's FGMRES_RESTEST, src/linsolve_generic.c:351-356).  On

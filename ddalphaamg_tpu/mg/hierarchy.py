@@ -208,6 +208,7 @@ class Multigrid:
             op = op.split()
         self._cycle_jit = None
         self._inner_jit = None
+        self._inner_batch_jit = None
         self._2lvl_jit = None
         self.fine = self._build(op)
 
@@ -517,6 +518,27 @@ class Multigrid:
                                       static_argnames=("m",))
         return self._inner_jit(self._level_data(), r,
                                jnp.float32(rel_tol), m=m)
+
+    def inner_restart_batch(self, r, rel_tols, m: int):
+        """Vmapped inner restarts for multiple right-hand sides: ALL systems
+        advance inside ONE device program (api.Solver.solve_multi).  TPU
+        rationale: a propagator solve is 12 independent RHS; batching turns
+        the coarse-level (2N x 2N) matvecs into (B, 2N, 2N) batched matmuls
+        the MXU runs at full tilt, and pays the relay dispatch cost once for
+        the whole batch instead of once per RHS.  The reference has no
+        multi-RHS path (SURVEY 2.14.8).
+
+        r: stacked logical fields [B, T,Z,Y,X,4,3]; rel_tols: [B] per-system
+        relative targets (converged lanes pass 1.0 and freeze immediately
+        inside the vmapped early-exit while_loop)."""
+        if self._inner_batch_jit is None:
+            def impl(data, rb, tb, m):
+                return jax.vmap(
+                    lambda rr, tt: self._inner_restart_impl(data, rr, tt, m)
+                )(rb, tb)
+            self._inner_batch_jit = jax.jit(impl, static_argnames=("m",))
+        return self._inner_batch_jit(self._level_data(), r,
+                                     jnp.asarray(rel_tols, jnp.float32), m=m)
 
     # ------------------------------------------------------------------
     # adaptive (bootstrap) setup

@@ -20,7 +20,12 @@ from . import cplx
 
 def default_split() -> bool:
     """True when the split-complex representation must be used (TPU: the
-    runtime executes no complex HLOs at all)."""
+    runtime executes no complex HLOs at all).  DDAAMG_FORCE_SPLIT=1 forces
+    the TPU representation on CPU so tests can drive the production
+    split/SoA solver paths without hardware."""
+    import os
+    if os.environ.get("DDAAMG_FORCE_SPLIT"):
+        return True
     return jax.devices()[0].platform != "cpu"
 
 
