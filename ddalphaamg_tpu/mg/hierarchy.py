@@ -66,6 +66,28 @@ def _normalize(v):
     return v * jax.lax.rsqrt(cplx.norm2(v))
 
 
+@jax.jit
+def _normalize_batch(vs):
+    return jax.vmap(_normalize)(vs)
+
+
+@partial(jax.jit, static_argnames=("cycles_seq", "block_iter", "odd_even"))
+def _initial_smooth_batch(stencil, colors, tvs_logical, cycles_seq,
+                          block_iter, odd_even):
+    """All initial test vectors' progressive SAP smoothing (1, 2, 3 cycles)
+    in ONE device program (vmapped over the TV batch; one dispatch instead
+    of 3N)."""
+    from ..smoothers.sap import sap_smooth
+
+    def one(v):
+        v = stencil.from_logical(v).astype(stencil.dtype)
+        for ncy in cycles_seq:
+            v = sap_smooth(stencil, colors, v, ncy, block_iter, odd_even)
+        return _normalize(v)
+
+    return jax.vmap(one)(tvs_logical)
+
+
 @partial(jax.jit, static_argnames=("rdtype",))
 def _dense_inverse_kernel(stencil, rdtype=None):
     from ..operators.stencil import dense_inverse
@@ -209,6 +231,7 @@ class Multigrid:
         self._cycle_jit = None
         self._inner_jit = None
         self._inner_batch_jit = None
+        self._setup_batch_jit = None
         self._2lvl_jit = None
         self.fine = self._build(op)
 
@@ -319,13 +342,9 @@ class Multigrid:
             from .. import parallel
             tv = parallel.shard_stacked_field(self.cfg.mesh, tv,
                                               level.geom.lattice, soa=False)
-        out = []
-        for i in range(n):
-            v = level.stencil.from_logical(tv[i])
-            for ncy in (1, 2, 3):
-                v = level.smoother(v, cycles=ncy)
-            out.append(_normalize(v))
-        return cplx.stack(out)
+        sm = level.smoother
+        return _initial_smooth_batch(level.stencil, sm.colors, tv,
+                                     (1, 2, 3), sm.block_iter, sm.odd_even)
 
     # ------------------------------------------------------------------
     # cycles -- ONE traced computation per preconditioner application
@@ -595,14 +614,17 @@ class Multigrid:
         return buf * (1.0 / jnp.sqrt(cplx.norm2(buf)))
 
     def _inv_iter_2lvl(self, level: MGLevel, setup_iter: int):
+        # the per-TV updates within one iteration are independent (P/D_c
+        # rebuild only after the sweep): vmap them into one device program
         if self._2lvl_jit is None:
-            self._2lvl_jit = jax.jit(self._twolevel_update_one,
-                                     static_argnames=("depth",))
+            def impl(data, depth, tvs):
+                return jax.vmap(
+                    lambda tv: self._twolevel_update_one(data, depth, tv)
+                )(tvs)
+            self._2lvl_jit = jax.jit(impl, static_argnames=("depth",))
         for _k in range(setup_iter):
-            for i in range(level.cfg.num_test_vectors):
-                tv = self._2lvl_jit(self._level_data(), level.depth,
-                                    level.test_vectors[i])
-                level.test_vectors = level.test_vectors.at[i].set(tv)
+            level.test_vectors = self._2lvl_jit(
+                self._level_data(), level.depth, level.test_vectors)
             self.re_setup(level, depth_only=True)
         if not level.next.is_coarsest:
             self._inv_iter_2lvl(level.next, setup_iter)
@@ -610,38 +632,58 @@ class Multigrid:
     def _gram_schmidt(self, tvs):
         return _gram_schmidt_kernel(tvs)
 
-    def _setup_cycle(self, level: MGLevel, tv):
-        """One traced cycle at `level` for the bootstrap (tv and result in
-        the level's stencil layout); kcycle_tol = coarse_tol during setup
-        (src/setup_generic.c:448)."""
-        if level.depth == 0:
-            s = level.stencil
-            x_log, citers, collect = self._run_cycle(
-                s.to_logical(tv), kcycle_tol=self.cfg.coarse_tol,
-                want_collect=True)
-            return s.from_logical(x_log), collect
-        x, _, collect = self._run_cycle(tv, kcycle_tol=self.cfg.coarse_tol,
-                                        want_collect=True, depth=level.depth)
-        return x, collect
+    def _setup_cycles_batch(self, level: MGLevel, tvs):
+        """The bootstrap cycles for ALL of a level's test vectors as ONE
+        vmapped device program (tvs and results in the level's stencil
+        layout; kcycle_tol = coarse_tol during setup, src/setup_generic.c:448).
+
+        The reference's inv_iter i-loop (src/setup_generic.c:427-459) has no
+        cross-TV dependency inside one bootstrap iteration -- coarser-level
+        TV collection and re_setup happen after the whole sweep -- so the N
+        cycles vmap cleanly.  On TPU this pays the ~26 ms relay dispatch
+        once per bootstrap iteration instead of once per test vector and
+        batches every cycle matmul over the TV axis (setup is the dominant
+        fixed cost of a solve; reference 8^4 setup: 85.9 s single-core)."""
+        cfg = self.cfg
+        ktol = float(cfg.coarse_tol)
+        if cfg.num_levels - level.depth <= 2:
+            ktol = 0.0  # mirror _run_cycle's no-K-cycle clamp (no retraces)
+        if self._setup_batch_jit is None:
+            def impl(data, tvs, depth, kcycle_tol):
+                def one(tv):
+                    if depth == 0:
+                        s = data[0]["stencil"]
+                        x_log, _, collect = self._cycle_entry(
+                            data, s.to_logical(tv), depth=0,
+                            kcycle_tol=kcycle_tol, want_collect=True)
+                        return s.from_logical(x_log), collect
+                    x, _, collect = self._cycle_entry(
+                        data, tv, depth=depth, kcycle_tol=kcycle_tol,
+                        want_collect=True)
+                    return x, collect
+                return jax.vmap(one)(tvs)
+            self._setup_batch_jit = jax.jit(
+                impl, static_argnames=("depth", "kcycle_tol"))
+        return self._setup_batch_jit(self._level_data(), tvs,
+                                     depth=level.depth, kcycle_tol=ktol)
 
     def _inv_iter_fcycle(self, level: MGLevel, setup_iter: int):
         cfg = self.cfg
         for j in range(setup_iter):
             level.test_vectors = self._gram_schmidt(level.test_vectors)
-            new_tvs = []
-            for i in range(level.cfg.num_test_vectors):
-                x, collect = self._setup_cycle(level, level.test_vectors[i])
-                new_tvs.append(_normalize(x))
-                # update coarser-level test vectors from the cycle's coarse
-                # solutions (test_vector_PRECISION_update)
-                lvl = level.next
-                while lvl is not None and not lvl.is_coarsest:
-                    if lvl.depth in collect and lvl.test_vectors is not None:
-                        xc = collect[lvl.depth]
-                        lvl.test_vectors = lvl.test_vectors.at[i].set(
-                            _normalize(xc))
-                    lvl = lvl.next
-            level.test_vectors = cplx.stack(new_tvs)
+            xs, collect = self._setup_cycles_batch(level, level.test_vectors)
+            level.test_vectors = _normalize_batch(xs)
+            # update coarser-level test vectors from the cycles' coarse
+            # solutions (test_vector_PRECISION_update), all TVs at once
+            n = level.cfg.num_test_vectors
+            lvl = level.next
+            while lvl is not None and not lvl.is_coarsest:
+                if lvl.depth in collect and lvl.test_vectors is not None:
+                    k = min(n, lvl.test_vectors.shape[0])
+                    xc = collect[lvl.depth]
+                    lvl.test_vectors = lvl.test_vectors.at[:k].set(
+                        _normalize_batch(xc[:k]))
+                lvl = lvl.next
             self.re_setup(level)
             if level.depth == 0 and not level.next.is_coarsest:
                 sub = max(1, round((j + 1) * level.next.cfg.setup_iter / setup_iter))
