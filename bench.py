@@ -173,10 +173,11 @@ def bench_mg_solve():
                                   block_lattice=(2, 2, 2, 2),
                                   test_vectors=16, setup_iter=3,
                                   post_smooth_iter=2, block_iter=4),
-               config.DepthParams(global_lattice=(8, 8, 8, 8),
-                                  block_lattice=(2, 2, 2, 2),
-                                  test_vectors=16, setup_iter=3,
-                                  post_smooth_iter=2, block_iter=4)]
+               config.DepthParams(
+                   global_lattice=tuple(e // 2 for e in SOLVE_LAT),
+                   block_lattice=(2, 2, 2, 2),
+                   test_vectors=16, setup_iter=3,
+                   post_smooth_iter=2, block_iter=4)]
     solver = api.Solver(p)
     U = smooth_su3(SOLVE_LAT, seed=0)
     solver.set_conf(U, links_have_bc=True)
@@ -260,6 +261,28 @@ def bench_mg_solve():
     if coarse_frac is not None:
         out["mg_coarse_time_fraction"] = round(coarse_frac, 3)
     out.update(extra_times)
+
+    # optional batched multi-RHS throughput (DDAAMG_BENCH_MULTI=B): the
+    # vmapped device-restart path amortizes dispatch and batches every
+    # cycle matmul; reports per-RHS seconds vs the single-RHS warm solve
+    nb = int(os.environ.get("DDAAMG_BENCH_MULTI", "0"))
+    if nb > 1:
+        try:
+            rng = np.random.default_rng(9)
+            bs = np.stack([rng.normal(size=(*SOLVE_LAT, 4, 3))
+                           + 1j * rng.normal(size=(*SOLVE_LAT, 4, 3))
+                           for _ in range(nb)])
+            solver.solve_multi(bs, tol=SOLVE_TOL)      # compile
+            t0 = time.perf_counter()
+            _, minfos = solver.solve_multi(bs, tol=SOLVE_TOL)
+            mt = time.perf_counter() - t0
+            out["mg_multi_rhs"] = nb
+            out["mg_multi_seconds_per_rhs"] = round(mt / nb, 3)
+            out["mg_multi_speedup"] = round(
+                info.solve_time * nb / max(mt, 1e-9), 2)
+            out["mg_multi_converged"] = bool(all(i.converged for i in minfos))
+        except Exception as e:
+            print(f"# multi-RHS bench failed: {e}", file=sys.stderr)
     return out
 
 
