@@ -192,13 +192,14 @@ class Solver:
                                else default_split()),
             coarsest_direct=(p.coarsest_direct
                              if p.coarsest_direct is not None
-                             else default_split() and self._coarsest_n() <= 8192),
+                             else default_split() and self._coarsest_n()
+                             <= (16384 if p.odd_even else 8192)),
         )
 
     def _coarsest_n(self) -> int:
         """Coarsest-problem size sites x 2 N_tv (dense-inverse feasibility:
-        the [n, n] inverse costs ~(2n)^3 flops per setup rebuild and
-        8 n^2 bytes of HBM, so auto-enable only for n <= 8192)."""
+        the stored inverse is 8 n^2 bytes full / 2 n^2 Schur, rebuilt at
+        every setup iteration, so auto-enable only for small n)."""
         p = self.p
         if p.num_levels < 2:
             return 1 << 30

@@ -94,6 +94,12 @@ def _dense_inverse_kernel(stencil, rdtype=None):
     return dense_inverse(stencil, rdtype=rdtype)
 
 
+@partial(jax.jit, static_argnames=("rdtype",))
+def _dense_schur_kernel(stencil, idx, rdtype=None):
+    from ..operators.stencil import dense_schur_inverse
+    return dense_schur_inverse(stencil, idx, rdtype=rdtype)
+
+
 @jax.jit
 def _gram_schmidt_kernel(tvs):
     n = tvs.shape[0]
@@ -315,13 +321,21 @@ class Multigrid:
         return levels[0]
 
     def _maybe_build_dense_inv(self, lvl: MGLevel):
-        """(Re)build the coarsest-level dense inverse (coarsest_direct)."""
+        """(Re)build the coarsest-level dense inverse (coarsest_direct):
+        the even-site Schur-complement inverse when odd-even applies (1/4
+        the bytes, ~8x cheaper to rebuild), else the full inverse."""
         if not self.cfg.coarsest_direct or lvl.depth == 0:
             lvl.dense_inv = None
             return
         rdtype = (jnp.bfloat16 if self.cfg.coarse_block_bf16 and self._split
                   else None)
-        lvl.dense_inv = _dense_inverse_kernel(lvl.stencil, rdtype=rdtype)
+        if self.cfg.odd_even and all(e % 2 == 0 for e in lvl.geom.lattice):
+            from ..operators.stencil import schur_even_indices
+            idx = jnp.asarray(schur_even_indices(lvl.stencil))
+            lvl.dense_inv = (_dense_schur_kernel(lvl.stencil, idx,
+                                                 rdtype=rdtype), idx)
+        else:
+            lvl.dense_inv = _dense_inverse_kernel(lvl.stencil, rdtype=rdtype)
 
     def _initial_test_vectors(self, level: MGLevel, key) -> jnp.ndarray:
         """Random vectors progressively smoothed with 1, 2, 3 SAP cycles
@@ -392,7 +406,10 @@ class Multigrid:
         b and the result are in the level's STENCIL layout."""
         cfg = self.cfg
         if dense_inv is not None:
-            from ..operators.stencil import dense_solve
+            from ..operators.stencil import dense_schur_solve, dense_solve
+            if isinstance(dense_inv, tuple):
+                inv, idx = dense_inv
+                return dense_schur_solve(s, inv, idx, b), jnp.float32(1.0)
             return dense_solve(dense_inv, b), jnp.float32(1.0)
         use_oe = cfg.odd_even and all(e % 2 == 0 for e in geom.lattice)
         if use_oe:

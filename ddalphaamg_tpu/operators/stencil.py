@@ -424,14 +424,88 @@ def dense_inverse(s, rdtype=None, chunk=256):
         eye = cplx.CArray(jnp.eye(n, dtype=s.even.dtype),
                           jnp.zeros((n, n), dtype=s.even.dtype))
         cols = jax.lax.map(col, eye, batch_size=min(n, chunk))
+        return _invert_cols(cols, rdtype)
+    eye = jnp.eye(n, dtype=s.dtype)
+    return _invert_cols(jax.lax.map(col, eye, batch_size=min(n, chunk)), None)
+
+
+def _invert_cols(cols, rdtype):
+    """Invert the operator materialized as cols[k] = D e_k.  Split-complex
+    matrices go through the real 2k x 2k embedding [[Re, -Im], [Im, Re]]
+    whose inverse is [[X, -Y], [Y, X]] with X + iY = (Re + i Im)^-1."""
+    if cplx.is_split(cols):
         dre, dim = cols.re.T, cols.im.T      # D[i, k] = (D e_k)[i]
+        k = dre.shape[0]
         r = jnp.block([[dre, -dim], [dim, dre]])
         rinv = jnp.linalg.inv(r)
-        inv = cplx.CArray(rinv[:n, :n], rinv[n:, :n])
+        inv = cplx.CArray(rinv[:k, :k], rinv[k:, :k])
         return inv if rdtype is None else inv.astype_real(rdtype)
-    eye = jnp.eye(n, dtype=s.dtype)
-    cols = jax.lax.map(col, eye, batch_size=min(n, chunk))
     return jnp.linalg.inv(cols.T)
+
+
+def schur_even_indices(s) -> np.ndarray:
+    """Flat indices of the even-site entries of the stencil's field layout
+    (host-side, static per geometry; the compaction map for the Schur-
+    complement direct solve)."""
+    mask = np.broadcast_to(np.asarray(s.even), s.field_shape)
+    return np.flatnonzero(mask.reshape(-1) > 0.5).astype(np.int32)
+
+
+def dense_schur_inverse(s, idx, rdtype=None, chunk=256):
+    """Dense inverse of the even-site Schur complement
+    S = A_ee - h_eo A_oo^-1 h_oe (the operator the coarsest-level odd-even
+    GCR iterates, coarse_solve_odd_even_PRECISION,
+    src/coarse_oddeven_generic.c:1139) compacted to the n/2 even sites.
+
+    vs the full dense_inverse: 1/4 the stored bytes and 1/4 the HBM read
+    per coarsest solve, ~8x cheaper to (re)build at each setup, at the
+    price of two extra stencil applies per solve (dense_schur_solve's
+    elimination + reconstruction) -- the standard odd-even trade, applied
+    to the direct solver.  idx = schur_even_indices(s)."""
+    shape = s.field_shape
+    n = int(np.prod(shape))
+    split = cplx.is_split(s.A)
+    rdt = s.even.dtype
+
+    def schur(v):
+        ve = s.even * v
+        return s.even * (s.self_op(ve) - s.hop(s.self_inv(s.hop(ve), s.odd)))
+
+    def col(j):
+        oh = jnp.zeros((n,), rdt).at[j].set(1.0)
+        if split:
+            e = cplx.CArray(oh, jnp.zeros_like(oh))
+        else:
+            e = oh.astype(s.dtype)
+        out = schur(e.reshape(*shape)).reshape(-1)
+        if split:
+            return cplx.CArray(out.re[idx], out.im[idx])
+        return out[idx]
+
+    cols = jax.lax.map(col, jnp.asarray(idx),
+                       batch_size=min(int(idx.shape[0]), chunk))
+    return _invert_cols(cols, rdtype if split else None)
+
+
+def dense_schur_solve(s, inv, idx, b):
+    """Coarsest direct solve via the Schur inverse: odd elimination, ONE
+    [n/2, n/2] matvec, odd reconstruction (all masked stencil applies)."""
+    shape = s.field_shape
+    n = int(np.prod(shape))
+    b_e = s.even * (b - s.hop(s.self_inv(b, s.odd)))
+    bf = b_e.reshape(-1)
+    if cplx.is_split(bf):
+        bc = cplx.CArray(bf.re[idx], bf.im[idx])
+        if cplx.is_split(inv) and inv.re.dtype != bc.re.dtype:
+            inv = inv.astype_real(bc.re.dtype)
+        xc = cplx.einsum("ij,j->i", inv, bc)
+        xe = cplx.CArray(jnp.zeros(n, xc.re.dtype).at[idx].set(xc.re),
+                         jnp.zeros(n, xc.im.dtype).at[idx].set(xc.im))
+    else:
+        xc = inv @ bf[idx]
+        xe = jnp.zeros(n, xc.dtype).at[idx].set(xc)
+    x_e = xe.reshape(*shape)
+    return x_e + s.self_inv(b - s.hop(x_e), s.odd)
 
 
 def dense_solve(inv, b):

@@ -261,3 +261,45 @@ def test_coarsest_direct_solve_parity(conf4):
 
     assert results[True].iterations <= results[False].iterations + 1, (
         results[True].iterations, results[False].iterations)
+
+
+def test_dense_schur_inverse_solves_coarsest(conf4):
+    """The Schur-complement variant of the coarsest direct solve (1/4 the
+    stored inverse): odd elimination + one compacted [n/2, n/2] matvec +
+    odd reconstruction must solve the full coarsest system to rounding."""
+    from ddalphaamg_tpu.operators.stencil import (
+        dense_schur_inverse, dense_schur_solve, schur_even_indices)
+
+    U, _ = dio.read_gauge_field(conf4, anti_periodic=True)
+    op = wilson.WilsonOperator.from_gauge(cplx.as_carray(U), m0=M0, csw=CSW)
+    cfg = MGConfig(levels=[
+        LevelConfig(lattice=LAT, block=(2, 2, 2, 2), post_smooth_iter=2,
+                    block_iter=4, num_test_vectors=4, setup_iter=1),
+        LevelConfig(lattice=(2, 2, 2, 2), block=(1, 1, 1, 1)),
+    ], coarse_layout="soa", split=True, seed=7)
+    mg = Multigrid(op, cfg)
+    s = list(mg._levels())[-1].stencil
+
+    idx = jnp.asarray(schur_even_indices(s))
+    n = int(np.prod(s.field_shape))
+    assert idx.shape[0] == n // 2
+
+    rng = np.random.default_rng(3)
+    b = cplx.as_carray(rng.normal(size=s.field_shape)
+                       + 1j * rng.normal(size=s.field_shape))
+    b = cplx.CArray(b.re.astype(s.even.dtype), b.im.astype(s.even.dtype))
+    bn = float(np.sqrt(cplx.norm2(b)))
+
+    inv = dense_schur_inverse(s, idx)
+    x = dense_schur_solve(s, inv, idx, b)
+    r = s.full_op(x)
+    err = float(np.sqrt(cplx.norm2(cplx.CArray(r.re - b.re, r.im - b.im)))) / bn
+    assert err < 1e-4, err
+
+    # narrow-stored variant stays well inside the 5e-2 coarsest tolerance
+    inv16 = dense_schur_inverse(s, idx, rdtype=jnp.bfloat16)
+    x16 = dense_schur_solve(s, inv16, idx, b)
+    r16 = s.full_op(x16)
+    e16 = float(np.sqrt(cplx.norm2(
+        cplx.CArray(r16.re - b.re, r16.im - b.im)))) / bn
+    assert e16 < 5e-2, e16
