@@ -49,7 +49,8 @@ BYTES_PER_SITE_DENSE = 4 * 9 * 8 + 2 * 36 * 8 + 2 * 12 * 8    # 1056
 BYTES_PER_SITE_PACKED = 4 * 9 * 8 + (2 * 6 * 4 + 2 * 15 * 8) + 2 * 12 * 8  # 768
 FLOPS_PER_SITE = 1920
 
-SOLVE_LAT = (16, 16, 16, 16)
+SOLVE_LAT = tuple(int(e) for e in os.environ.get(
+    "DDAAMG_BENCH_LAT", "16,16,16,16").split(","))
 SOLVE_TOL = 1e-10
 
 
