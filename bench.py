@@ -267,6 +267,9 @@ def bench_mg_solve():
     # vmapped device-restart path amortizes dispatch and batches every
     # cycle matmul; reports per-RHS seconds vs the single-RHS warm solve
     nb = int(os.environ.get("DDAAMG_BENCH_MULTI", "0"))
+    if nb == 1:
+        print("# DDAAMG_BENCH_MULTI must be >= 2 (got 1); skipping multi-RHS",
+              file=sys.stderr)
     if nb > 1:
         try:
             rng = np.random.default_rng(9)

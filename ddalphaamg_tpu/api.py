@@ -193,8 +193,19 @@ class Solver:
             coarsest_direct=(p.coarsest_direct
                              if p.coarsest_direct is not None
                              else default_split() and self._coarsest_n()
-                             <= (16384 if p.odd_even else 8192)),
+                             <= (16384 if self._coarsest_schur_ok() else 8192)),
         )
+
+    def _coarsest_schur_ok(self) -> bool:
+        """True when the coarsest level will get the Schur-complement (1/4
+        storage) inverse -- must mirror the gate in
+        Multigrid._maybe_build_dense_inv exactly, else the larger budget
+        silently buys the FULL inverse at 4x the bytes."""
+        p = self.p
+        if not p.odd_even or p.num_levels < 2:
+            return False
+        return all(e % 2 == 0
+                   for e in p.depth[p.num_levels - 1].global_lattice)
 
     def _coarsest_n(self) -> int:
         """Coarsest-problem size sites x 2 N_tv (dense-inverse feasibility:
@@ -384,84 +395,17 @@ class Solver:
         *verified* on a chip with no f64 support.  Host round-trips per
         solve: O(restarts), not O(iterations) (the reference's host is its
         compute device, linsolve_generic.c:219; on TPU a host-driven Arnoldi
-        pays ~26 ms/iteration in dispatch)."""
-        import jax
+        pays ~26 ms/iteration in dispatch).
 
-        from .operators import dfloat as dfm
+        Implemented as the B=1 case of _solve_df_multi so the outer-loop
+        logic exists exactly once."""
         from .solvers.fgmres import FGMRESResult
-        from .utils import host_float
 
-        p = self.p
-        lat = self.lattice
-        t, z, y, x_ = lat
-        wdf, _ = self._wilson_df()
-
-        def to_soa64(a64):
-            return np.transpose(a64.reshape(*lat, 4, 3),
-                                (4, 5, 0, 1, 2, 3)).reshape(4, 3, t, z, y * x_)
-
-        b64 = np.asarray(rhs, np.complex128)
-        b_cdf = dfm.cdf_from64(to_soa64(b64))
-        norm_b = float(np.linalg.norm(b64))
-
-        # jitted building blocks cached per-lattice in dfloat (no
-        # per-solve recompilation -- relay compiles cost tens of seconds)
-        residual, extract_r32, axpy = dfm.build_outer_fns(lat)
-        from .utils import host_array
-
-        if x0 is not None:
-            x = dfm.cdf_from64(to_soa64(np.asarray(x0, np.complex128)))
-        else:
-            zero = jnp.zeros((4, 3, t, z, y * x_), jnp.float32)
-            x = dfm.CDF(dfm.DF(zero, zero), dfm.DF(zero, zero))
-
-        # Inner restart length: capped so the device-resident GCR basis
-        # (W, Q: 2 x [m, vol*12] split-complex) stays inside what the TPU
-        # worker sustains with the traced MG cycle live -- large bases at
-        # large volume crash the relay worker (empirically ~1.2e7 complex
-        # basis entries per array is safe at 16^4; scale by volume).
-        n_dof = int(np.prod(lat)) * 12
-        m_cap = int(os.environ.get("DDAAMG_INNER_M_CAP",
-                                   max(5, min(p.restart_length,
-                                              12_000_000 // max(n_dof, 1)))))
-
-        it_handles = []          # device handles, fetched once after the
-        resvec = []              # loop (each fetch pays ~26 ms on the relay)
-        converged = False
-        relres = 1.0
-        for restart in range(p.max_restarts + 1):
-            if restart == 0 and x0 is None:
-                r, nr = b_cdf, norm_b
-            else:
-                r, rn2 = residual(wdf, b_cdf, x)
-                hi, lo = host_array(rn2)
-                nr = float(np.sqrt(max(float(hi) + float(lo), 0.0)))
-            relres = nr / norm_b
-            resvec.append(relres)
-            if relres < tol:
-                converged = True
-                break
-            if restart == p.max_restarts:
-                break
-            # f32 inner restart: reduce ||r|| by the remaining factor.
-            # Clip at 1e-5: pushing an f32 Krylov sweep toward its ~1e-7
-            # verification floor stalls and burns iterations; 1e-5 targets
-            # converge cleanly and the iterative refinement recovers the
-            # rest (the reference's restart-as-precision-refresh,
-            # src/linsolve.c:210-242).
-            rel_target = max(tol * norm_b / nr, 1e-5)
-            zc, it, cit = self.mg.inner_restart(extract_r32(r), rel_target,
-                                                m=m_cap)
-            x = axpy(x, zc)
-            it_handles.append((it, cit))
-        iters = sum(host_float(it) for it, _ in it_handles)
-        citers = sum(host_float(cit) for _, cit in it_handles)
-        if self.mg is not None:
-            self.mg.stats["coarse_iterations"] = (
-                self.mg.stats["coarse_iterations"] + citers)
-        x_log = dfm.cdf_to64(x).reshape(4, 3, t, z, y, x_).transpose(
-            2, 3, 4, 5, 0, 1)
-        return FGMRESResult(x_log, int(iters), relres, converged, resvec)
+        x_log, its, relres, converged, resvec = self._solve_df_multi(
+            np.asarray(rhs)[None], tol,
+            x0=None if x0 is None else np.asarray(x0)[None])
+        return FGMRESResult(x_log[0], int(its[0]), float(relres[0]),
+                            bool(converged[0]), [float(r[0]) for r in resvec])
 
     def _solve_df_multi(self, rhs_batch, tol, x0=None):
         """Batched multi-RHS production outer loop: _solve_df_device with
@@ -572,9 +516,8 @@ class Solver:
         if (self.mg is not None and self._U_host is not None
                 and default_split()
                 and not os.environ.get("DDAAMG_HOST_OUTER")):
-            if self.mg is not None:
-                self.mg.stats["coarse_iterations"] = 0
-                self.mg.stats["coarse_solves"] = 0
+            self.mg.stats["coarse_iterations"] = 0
+            self.mg.stats["coarse_solves"] = 0
             t0 = time.time()
             x_log, its, relres, converged, _ = self._solve_df_multi(
                 rhs_batch, tol)

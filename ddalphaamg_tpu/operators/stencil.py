@@ -416,17 +416,18 @@ def dense_inverse(s, rdtype=None, chunk=256):
     """
     shape = s.field_shape
     n = int(np.prod(shape))
+    split = cplx.is_split(s.A)
+    rdt = s.even.dtype
 
-    def col(ei):
-        return s.full_op(ei.reshape(*shape)).reshape(-1)
+    def col(j):
+        # basis column built from its index: no n x n identity lives in HBM
+        oh = jnp.zeros((n,), rdt).at[j].set(1.0)
+        e = cplx.CArray(oh, jnp.zeros_like(oh)) if split else oh.astype(s.dtype)
+        return s.full_op(e.reshape(*shape)).reshape(-1)
 
-    if cplx.is_split(s.A):
-        eye = cplx.CArray(jnp.eye(n, dtype=s.even.dtype),
-                          jnp.zeros((n, n), dtype=s.even.dtype))
-        cols = jax.lax.map(col, eye, batch_size=min(n, chunk))
-        return _invert_cols(cols, rdtype)
-    eye = jnp.eye(n, dtype=s.dtype)
-    return _invert_cols(jax.lax.map(col, eye, batch_size=min(n, chunk)), None)
+    cols = jax.lax.map(col, jnp.arange(n, dtype=jnp.int32),
+                       batch_size=min(n, chunk))
+    return _invert_cols(cols, rdtype if split else None)
 
 
 def _invert_cols(cols, rdtype):

@@ -91,3 +91,10 @@ def test_solve_multi_batched_df_path(conf4, monkeypatch):
         # independent residual check (double-float against the f64 operator)
         r = solver.true_residual(x[i], b[i])
         assert r < 5e-9, (i, r)
+
+    # the single-RHS production path is the B=1 case of the same driver
+    # (_solve_df_device delegates to _solve_df_multi); it must agree with
+    # the batched lane up to batched-while_loop rounding
+    x0s, info0 = solver.solve(b[0], tol=1e-9)
+    assert info0.converged and info0.relres < 1e-9, info0
+    np.testing.assert_allclose(np.asarray(x0s), x[0], atol=1e-7)
