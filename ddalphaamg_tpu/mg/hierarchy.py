@@ -71,6 +71,21 @@ def _normalize_batch(vs):
     return jax.vmap(_normalize)(vs)
 
 
+def _prof(name: str, depth: int, fn):
+    """Run fn() under a profiling region (setup-phase observability -- the
+    reference profiles its setup too, prof_print src/solver_analysis.c:65)."""
+    from ..profiling import PROF
+    if not PROF.enabled:
+        return fn()
+    import time as _time
+    t0 = _time.perf_counter()
+    out = fn()
+    if PROF.sync:
+        jax.block_until_ready(out)
+    PROF.add(name, depth, _time.perf_counter() - t0)
+    return out
+
+
 @partial(jax.jit, static_argnames=("cycles_seq", "block_iter", "odd_even"))
 def _initial_smooth_batch(stencil, colors, tvs_logical, cycles_seq,
                           block_iter, odd_even):
@@ -332,10 +347,14 @@ class Multigrid:
         if self.cfg.odd_even and all(e % 2 == 0 for e in lvl.geom.lattice):
             from ..operators.stencil import schur_even_indices
             idx = jnp.asarray(schur_even_indices(lvl.stencil))
-            lvl.dense_inv = (_dense_schur_kernel(lvl.stencil, idx,
-                                                 rdtype=rdtype), idx)
+            lvl.dense_inv = (_prof(
+                "setup: coarsest dense inverse", lvl.depth,
+                lambda: _dense_schur_kernel(lvl.stencil, idx,
+                                            rdtype=rdtype)), idx)
         else:
-            lvl.dense_inv = _dense_inverse_kernel(lvl.stencil, rdtype=rdtype)
+            lvl.dense_inv = _prof(
+                "setup: coarsest dense inverse", lvl.depth,
+                lambda: _dense_inverse_kernel(lvl.stencil, rdtype=rdtype))
 
     def _initial_test_vectors(self, level: MGLevel, key) -> jnp.ndarray:
         """Random vectors progressively smoothed with 1, 2, 3 SAP cycles
@@ -357,8 +376,11 @@ class Multigrid:
             tv = parallel.shard_stacked_field(self.cfg.mesh, tv,
                                               level.geom.lattice, soa=False)
         sm = level.smoother
-        return _initial_smooth_batch(level.stencil, sm.colors, tv,
-                                     (1, 2, 3), sm.block_iter, sm.odd_even)
+        return _prof(
+            "setup: initial tv smoothing", level.depth,
+            lambda: _initial_smooth_batch(level.stencil, sm.colors, tv,
+                                          (1, 2, 3), sm.block_iter,
+                                          sm.odd_even))
 
     # ------------------------------------------------------------------
     # cycles -- ONE traced computation per preconditioner application
@@ -687,8 +709,12 @@ class Multigrid:
     def _inv_iter_fcycle(self, level: MGLevel, setup_iter: int):
         cfg = self.cfg
         for j in range(setup_iter):
-            level.test_vectors = self._gram_schmidt(level.test_vectors)
-            xs, collect = self._setup_cycles_batch(level, level.test_vectors)
+            level.test_vectors = _prof(
+                "setup: gram schmidt", level.depth,
+                lambda: self._gram_schmidt(level.test_vectors))
+            xs, collect = _prof(
+                "setup: tv cycles (F-cycle)", level.depth,
+                lambda: self._setup_cycles_batch(level, level.test_vectors))
             level.test_vectors = _normalize_batch(xs)
             # update coarser-level test vectors from the cycles' coarse
             # solutions (test_vector_PRECISION_update), all TVs at once
@@ -701,7 +727,8 @@ class Multigrid:
                     lvl.test_vectors = lvl.test_vectors.at[:k].set(
                         _normalize_batch(xc[:k]))
                 lvl = lvl.next
-            self.re_setup(level)
+            _prof("setup: P/Galerkin rebuild", level.depth,
+                  lambda: self.re_setup(level))
             if level.depth == 0 and not level.next.is_coarsest:
                 sub = max(1, round((j + 1) * level.next.cfg.setup_iter / setup_iter))
                 self._inv_iter_fcycle(level.next, sub)
