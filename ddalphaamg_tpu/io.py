@@ -32,7 +32,11 @@ def read_gauge_field(path: str, anti_periodic: bool = True):
          with the anti-periodic sign already applied if requested.
       header_plaquette: float, the average plaquette stored in the file
          header (normalized to [0, 3] as in the reference).
+
+    .h5/.hdf5 paths dispatch to the HDF5 variant.
     """
+    if _is_hdf5_path(path):
+        return read_gauge_field_hdf5(path, anti_periodic=anti_periodic)
     try:
         from . import native
         nat = native.read_gauge_field(path, anti_periodic=anti_periodic)
@@ -70,7 +74,11 @@ def read_gauge_field(path: str, anti_periodic: bool = True):
 
 def write_gauge_field(path: str, U: np.ndarray, plaquette: float,
                       anti_periodic: bool = True) -> None:
-    """Write a gauge field in DDalphaAMG binary format (inverse of read)."""
+    """Write a gauge field in DDalphaAMG binary format (inverse of read).
+    .h5/.hdf5 paths dispatch to the HDF5 variant."""
+    if _is_hdf5_path(path):
+        return write_gauge_field_hdf5(path, U, plaquette,
+                                      anti_periodic=anti_periodic)
     U = np.asarray(U)
     if anti_periodic:
         U = U.copy()
@@ -84,6 +92,51 @@ def write_gauge_field(path: str, U: np.ndarray, plaquette: float,
         f.write(np.array([lt, lz, ly, lx], dtype="<i4").tobytes())
         f.write(np.array([plaquette], dtype="<f8").tobytes())
         f.write(flat.tobytes())
+
+
+def write_gauge_field_hdf5(path: str, U: np.ndarray, plaquette: float,
+                           anti_periodic: bool = True) -> None:
+    """HDF5 gauge configuration (reference HAVE_HDF5 gauge io,
+    src/io.c:703-...): a 'configuration' dataset in the site-major binary
+    layout [T,Z,Y,X,4,3,3,(re,im)] with lattice/plaquette attributes.
+    Requires h5py."""
+    try:
+        import h5py
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("HDF5 gauge IO requires h5py") from e
+    U = np.asarray(U)
+    if anti_periodic:
+        U = U.copy()
+        U[T, -1] = -U[T, -1]  # undo the baked-in sign before writing
+    _, lt, lz, ly, lx, _, _ = U.shape
+    site_major = np.moveaxis(U, 0, 4)
+    flat = np.empty((lt, lz, ly, lx, 4, 3, 3, 2), dtype="<f8")
+    flat[..., 0] = site_major.real
+    flat[..., 1] = site_major.imag
+    with h5py.File(path, "w") as f:
+        ds = f.create_dataset("configuration", data=flat)
+        ds.attrs["lattice"] = np.array([lt, lz, ly, lx], np.int32)
+        ds.attrs["plaquette"] = float(plaquette)
+
+
+def read_gauge_field_hdf5(path: str, anti_periodic: bool = True):
+    """Read an HDF5 gauge configuration (inverse of write_gauge_field_hdf5).
+    Returns (U [4,T,Z,Y,X,3,3] complex128 with the anti-periodic sign
+    applied, header plaquette)."""
+    try:
+        import h5py
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("HDF5 gauge IO requires h5py") from e
+    with h5py.File(path, "r") as f:
+        ds = f["configuration"]
+        flat = np.asarray(ds)
+        plaq = float(ds.attrs.get("plaquette", 0.0))
+    U = (flat[..., 0] + 1j * flat[..., 1]).astype(np.complex128)
+    U = np.ascontiguousarray(np.moveaxis(U, 4, 0))
+    if anti_periodic:
+        U = U.copy()
+        U[T, -1] = -U[T, -1]
+    return U, plaq
 
 
 def _skip_header(f) -> None:

@@ -61,3 +61,16 @@ def test_hdf5_test_vector_roundtrip(tmp_path):
     dio.write_test_vectors(path, tvs, header={"m0": -0.5})
     back = dio.read_test_vectors(path, (2, 2, 2, 2), n=3)
     np.testing.assert_allclose(back, tvs, atol=0)
+
+
+def test_hdf5_gauge_roundtrip(tmp_path, conf4):
+    """HDF5 gauge configuration (reference HAVE_HDF5 gauge io,
+    src/io.c:703): .h5 paths dispatch transparently from
+    read/write_gauge_field and round-trip exactly."""
+    pytest.importorskip("h5py")
+    U, plaq = dio.read_gauge_field(conf4, anti_periodic=True)
+    out = str(tmp_path / "conf.h5")
+    dio.write_gauge_field(out, U, plaq, anti_periodic=True)
+    U2, plaq2 = dio.read_gauge_field(out, anti_periodic=True)
+    np.testing.assert_allclose(U2, U)
+    assert plaq2 == plaq
