@@ -254,6 +254,7 @@ class Multigrid:
         self._inner_batch_jit = None
         self._setup_batch_jit = None
         self._2lvl_jit = None
+        self._defer_dense = False
         self.fine = self._build(op)
 
     # ------------------------------------------------------------------
@@ -332,15 +333,22 @@ class Multigrid:
                 levels[-1].next = level
             levels.append(level)
             self._shard_level(level)
-        self._maybe_build_dense_inv(levels[-1])
         return levels[0]
 
-    def _maybe_build_dense_inv(self, lvl: MGLevel):
-        """(Re)build the coarsest-level dense inverse (coarsest_direct):
+    def _ensure_dense_inv(self):
+        """Lazily build the coarsest-level dense inverse (coarsest_direct):
         the even-site Schur-complement inverse when odd-even applies (1/4
-        the bytes, ~8x cheaper to rebuild), else the full inverse."""
-        if not self.cfg.coarsest_direct or lvl.depth == 0:
-            lvl.dense_inv = None
+        the bytes, ~8x cheaper to build), else the full inverse.
+
+        Built on first use and INVALIDATED (not rebuilt) whenever re_setup
+        replaces the coarsest stencil; during the bootstrap the build is
+        deferred entirely (_defer_dense) so the setup's coarsest solves run
+        the GCR path -- matching the reference's setup behavior and saving
+        setup_iter+1 rebuilds of a matrix only the final operator needs."""
+        if not self.cfg.coarsest_direct or self._defer_dense:
+            return
+        lvl = self._levels()[-1]
+        if lvl.depth == 0 or lvl.dense_inv is not None:
             return
         rdtype = (jnp.bfloat16 if self.cfg.coarse_block_bf16 and self._split
                   else None)
@@ -415,6 +423,7 @@ class Multigrid:
         """The hierarchy's array content as a pytree (jit argument) --
         stencils are rebuilt by re_setup, so they must be arguments, not
         trace-time constants."""
+        self._ensure_dense_inv()
         return tuple(
             {"stencil": self._cycle_view(lvl), "P": lvl.P,
              "dense_inv": lvl.dense_inv,
@@ -608,7 +617,14 @@ class Multigrid:
         it = setup_iter if setup_iter is not None else self.cfg.levels[0].setup_iter
         if self.cfg.num_levels < 2 or it <= 0:
             return
-        self._inv_iter_fcycle(self.fine, it)
+        # defer the coarsest dense inverse: setup's coarsest solves run the
+        # GCR path (the reference's setup behavior); built lazily at the
+        # first post-setup cycle instead of rebuilt every re_setup
+        self._defer_dense = True
+        try:
+            self._inv_iter_fcycle(self.fine, it)
+        finally:
+            self._defer_dense = False
 
     def twolevel_extension_setup(self, setup_iter: Optional[int] = None):
         """interpolation mode 1: inv_iter_2lvl_extension_setup_PRECISION
@@ -621,7 +637,11 @@ class Multigrid:
         it = setup_iter if setup_iter is not None else self.cfg.levels[0].setup_iter
         if self.cfg.num_levels < 2 or it <= 0:
             return
-        self._inv_iter_2lvl(self.fine, it)
+        self._defer_dense = True
+        try:
+            self._inv_iter_2lvl(self.fine, it)
+        finally:
+            self._defer_dense = False
 
     def _twolevel_update_one(self, data, depth: int, tv):
         """One mode-1 update of a single test vector at `depth` (traced)."""
@@ -781,7 +801,7 @@ class Multigrid:
                 nxt.smoother.replace_stencil(nxt.stencil)
             self._shard_level(nxt)
             if nxt.is_coarsest:
-                self._maybe_build_dense_inv(nxt)
+                nxt.dense_inv = None   # stale vs the rebuilt stencil
             if depth_only:
                 break
             lvl = nxt

@@ -211,10 +211,10 @@ def test_mesh_coarsest_direct_parity(conf4, monkeypatch):
     s8 = api.Solver(p, mesh=mesh8)
     s8.read_conf()
     s8.setup()
-    coarsest = list(s8.mg._levels())[-1]
-    assert isinstance(coarsest.dense_inv, tuple)   # Schur variant
     x8, i8 = s8.solve()
     assert i8.converged, i8
+    coarsest = list(s8.mg._levels())[-1]
+    assert isinstance(coarsest.dense_inv, tuple)   # Schur variant, lazy-built
     r = s8.true_residual(x8, config.make_rhs(p.right_hand_side, s8.lattice,
                                              seed=p.seed))
     assert r < 5e-8, r

@@ -251,12 +251,14 @@ def test_coarsest_direct_solve_parity(conf4):
         ], coarse_layout="soa", split=True, seed=7,
             coarsest_direct=direct)
         mg = Multigrid(op, cfg)
-        assert (list(mg._levels())[-1].dense_inv is not None) == direct
         mg.bootstrap_setup()
+        # lazily built at the first post-setup cycle, never before
+        assert list(mg._levels())[-1].dense_inv is None
         res = fgmres(lambda v: wilson.d_plus_clover(op, v), b,
                      preconditioner=mg, tol=1e-8, restart_length=50,
                      max_restarts=10)
         assert res.converged
+        assert (list(mg._levels())[-1].dense_inv is not None) == direct
         results[direct] = res
 
     assert results[True].iterations <= results[False].iterations + 1, (
