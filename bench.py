@@ -290,7 +290,28 @@ def bench_mg_solve():
     return out
 
 
+def _device_backend_reachable(timeout_s: int = 150) -> bool:
+    """Probe backend initialization in a SUBPROCESS with a timeout: a dead
+    device relay makes jax.devices() hang forever (observed hours-long
+    outages), which would leave the benchmark with no JSON record at all."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _device_backend_reachable():
+        print(json.dumps({
+            "metric": "dslash_gflops", "value": 0.0, "unit": "GFLOP/s",
+            "vs_baseline": 0.0,
+            "detail": {"error": "device backend unreachable "
+                                "(relay down / jax.devices() hang)"}}))
+        return 1
     d = bench_dslash()
     detail = {
         "lattice": list(LAT),
