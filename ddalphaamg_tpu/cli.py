@@ -25,6 +25,10 @@ def main(argv=None):
                          "(reference WILSON_BENCHMARK, src/top_level.c:71)")
     ap.add_argument("--profile", action="store_true",
                     help="print the per-kernel profiling table")
+    ap.add_argument("--rhs-batch", type=int, default=0, metavar="B",
+                    help="after the main solve, solve B random right-hand "
+                         "sides via the batched multi-RHS driver "
+                         "(Solver.solve_multi) and report per-RHS time")
     args = ap.parse_args(argv)
 
     if args.profile:
@@ -88,6 +92,21 @@ def main(argv=None):
 
     rhs = config.make_rhs(params.right_hand_side, solver.lattice, seed=params.seed)
     x, info = solver.solve(rhs, tol=args.tol)
+
+    if args.rhs_batch > 1:
+        import numpy as _np
+        rng = _np.random.default_rng(params.seed + 1)
+        bs = _np.stack([rng.normal(size=(*solver.lattice, 4, 3))
+                        + 1j * rng.normal(size=(*solver.lattice, 4, 3))
+                        for _ in range(args.rhs_batch)])
+        t0 = time.time()
+        _, minfos = solver.solve_multi(bs, tol=args.tol)
+        mt = time.time() - t0
+        conv = sum(1 for i in minfos if i.converged)
+        print(f"+- multi-RHS: {args.rhs_batch} solves (batched) "
+              f"--------------------------+")
+        print(f"|      per-RHS time: {mt / args.rhs_batch:9.4f} seconds "
+              f"({conv}/{args.rhs_batch} converged) |")
 
     if args.benchmark > 0:
         # WILSON_BENCHMARK: repeat the solve, report avg/min
