@@ -98,3 +98,21 @@ def test_solve_multi_batched_df_path(conf4, monkeypatch):
     x0s, info0 = solver.solve(b[0], tol=1e-9)
     assert info0.converged and info0.relres < 1e-9, info0
     np.testing.assert_allclose(np.asarray(x0s), x[0], atol=1e-7)
+
+
+def test_solve_multi_fallback_loop(conf4):
+    """Without the device-restart driver (plain CPU representation),
+    solve_multi falls back to sequential solves against the shared
+    preconditioner and returns the same per-RHS structure."""
+    p = config.parse_ini(INI)
+    p.tol = 1e-8
+    solver = api.Solver(p)
+    solver.read_conf(conf4)
+    solver.setup()
+    b = np.stack([np.ones((*LAT, 4, 3), np.complex128),
+                  _rand_logical(7).astype(np.complex128)])
+    x, infos = solver.solve_multi(b)
+    assert x.shape == b.shape and len(infos) == 2
+    for i, info in enumerate(infos):
+        assert info.converged, (i, info)
+        assert solver.true_residual(x[i], b[i]) < 5e-8
