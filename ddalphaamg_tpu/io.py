@@ -327,3 +327,79 @@ def read_gauge_field_multi(path: str, proc_grid, anti_periodic: bool = True):
     if anti_periodic:
         U[T, -1] = -U[T, -1]
     return U, plaq
+
+
+def read_gauge_field_ddhmc(path: str, anti_periodic: bool = True):
+    """Read a DDHMC-layout gauge configuration (reference converter
+    conf/convert/DDHMC2DDalphaAMG.c:34-95).
+
+    DDHMC stores, after the same [4 x int32, float64 plaquette] header,
+    8 row-major complex SU(3) matrices per ODD site (t+z+y+x odd) in
+    lexicographic site order, direction order +T,-T,+Z,-Z,+Y,-Y,+X,-X.
+    The -mu matrix is the +mu link of the site's -mu (even) neighbor, so
+    odd sites' records cover every link exactly once.
+
+    Returns (U [4,T,Z,Y,X,3,3] complex128, header plaquette), same
+    conventions as read_gauge_field.
+    """
+    with open(path, "rb") as f:
+        raw = f.read()
+    dims = np.frombuffer(raw, dtype="<i4", count=4)
+    if not all(0 < d <= 4096 for d in dims):
+        dims = np.frombuffer(raw, dtype=">i4", count=4)
+        if not all(0 < d <= 4096 for d in dims):
+            raise ValueError(f"{path}: cannot parse lattice extents")
+        endian = ">"
+    else:
+        endian = "<"
+    lat = tuple(int(d) for d in dims)
+    plaq = float(np.frombuffer(raw, dtype=f"{endian}f8", count=1, offset=16)[0])
+    nsite = int(np.prod(lat))
+    assert nsite % 2 == 0, "DDHMC layout requires an even site count"
+    expected = (nsite // 2) * 8 * 18
+    data = np.frombuffer(raw, dtype=f"{endian}f8", count=expected, offset=24)
+    if data.size != expected:
+        raise ValueError(f"{path}: truncated DDHMC gauge field")
+    rec = data.reshape(nsite // 2, 8, 3, 3, 2)
+    rec = rec[..., 0] + 1j * rec[..., 1]          # [n_odd, 8, 3, 3]
+
+    coords = np.indices(lat).reshape(4, -1)        # lexicographic TZYX
+    odd = coords.sum(axis=0) % 2 == 1
+    oc = coords[:, odd]                            # [4, n_odd]
+    U = np.empty((4, *lat, 3, 3), dtype=np.complex128)
+    for mu in range(4):
+        U[(mu, *oc)] = rec[:, 2 * mu]
+        nc = oc.copy()
+        nc[mu] = (nc[mu] - 1) % lat[mu]            # -mu neighbor (even site)
+        U[(mu, *nc)] = rec[:, 2 * mu + 1]
+    if anti_periodic:
+        U[T, -1] = -U[T, -1]
+    return U, plaq
+
+
+def write_gauge_field_ddhmc(path: str, U: np.ndarray, plaquette: float,
+                            anti_periodic: bool = True) -> None:
+    """Write a gauge field in the DDHMC layout (inverse of
+    read_gauge_field_ddhmc; used for converter round-trip tests)."""
+    U = np.asarray(U)
+    if anti_periodic:
+        U = U.copy()
+        U[T, -1] = -U[T, -1]
+    lat = U.shape[1:5]
+    nsite = int(np.prod(lat))
+    coords = np.indices(lat).reshape(4, -1)
+    odd = coords.sum(axis=0) % 2 == 1
+    oc = coords[:, odd]
+    rec = np.empty((nsite // 2, 8, 3, 3), dtype=np.complex128)
+    for mu in range(4):
+        rec[:, 2 * mu] = U[(mu, *oc)]
+        nc = oc.copy()
+        nc[mu] = (nc[mu] - 1) % lat[mu]
+        rec[:, 2 * mu + 1] = U[(mu, *nc)]
+    flat = np.empty((*rec.shape, 2), dtype="<f8")
+    flat[..., 0] = rec.real
+    flat[..., 1] = rec.imag
+    with open(path, "wb") as f:
+        f.write(np.array(lat, dtype="<i4").tobytes())
+        f.write(np.array([plaquette], dtype="<f8").tobytes())
+        f.write(flat.tobytes())

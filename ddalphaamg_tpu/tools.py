@@ -3,8 +3,9 @@
     (conf/random/unit_conf.c:137, conf/random/random_conf.c:137)
   * config splitter for multi-file IO (conf/split/split_conf.c:256)
   * format converters binary <-> LIME/ILDG (lime_io.c analog)
+  * DDHMC -> DDalphaAMG converter (conf/convert/DDHMC2DDalphaAMG.c:34)
 
-CLI:  python -m ddalphaamg_tpu.tools <unit|random|split|tolime|tobin> ...
+CLI:  python -m ddalphaamg_tpu.tools <unit|random|split|tolime|tobin|fromddhmc> ...
 """
 
 from __future__ import annotations
@@ -97,6 +98,11 @@ def main(argv=None) -> int:
     p.add_argument("input")
     p.add_argument("output")
 
+    p = sub.add_parser("fromddhmc",
+                       help="convert a DDHMC-layout config to DDalphaAMG binary")
+    p.add_argument("input")
+    p.add_argument("output")
+
     args = ap.parse_args(argv)
     if args.cmd == "unit":
         plaq = make_unit_conf(args.path, tuple(args.lattice))
@@ -115,6 +121,10 @@ def main(argv=None) -> int:
         print(f"wrote {args.output} (ILDG), plaquette {plaq:.13f}")
     elif args.cmd == "tobin":
         U, plaq = dlime.read_gauge_field(args.input, anti_periodic=False)
+        dio.write_gauge_field(args.output, U, plaq, anti_periodic=False)
+        print(f"wrote {args.output} (binary), plaquette {plaq:.13f}")
+    elif args.cmd == "fromddhmc":
+        U, plaq = dio.read_gauge_field_ddhmc(args.input, anti_periodic=False)
         dio.write_gauge_field(args.output, U, plaq, anti_periodic=False)
         print(f"wrote {args.output} (binary), plaquette {plaq:.13f}")
     return 0

@@ -74,3 +74,22 @@ def test_hdf5_gauge_roundtrip(tmp_path, conf4):
     U2, plaq2 = dio.read_gauge_field(out, anti_periodic=True)
     np.testing.assert_allclose(U2, U)
     assert plaq2 == plaq
+
+
+def test_ddhmc_roundtrip(tmp_path, conf4):
+    """DDHMC converter (reference conf/convert/DDHMC2DDalphaAMG.c): writing
+    the 4^4 config in DDHMC odd-site layout and converting back must be the
+    identity, and the CLI converter must produce a byte-faithful binary."""
+    U, plaq = dio.read_gauge_field(conf4, anti_periodic=False)
+    dd = tmp_path / "conf.ddhmc"
+    dio.write_gauge_field_ddhmc(str(dd), U, plaq, anti_periodic=False)
+    U2, plaq2 = dio.read_gauge_field_ddhmc(str(dd), anti_periodic=False)
+    assert plaq2 == plaq
+    np.testing.assert_allclose(U2, U)
+
+    from ddalphaamg_tpu import tools
+    out = tmp_path / "conf.bin"
+    assert tools.main(["fromddhmc", str(dd), str(out)]) == 0
+    U3, plaq3 = dio.read_gauge_field(str(out), anti_periodic=False)
+    assert plaq3 == plaq
+    np.testing.assert_allclose(U3, U)
