@@ -31,9 +31,13 @@ if not os.environ.get("DDAAMG_NO_COMPILE_CACHE"):
         # *request* (env), not jax.default_backend(): backend init here would
         # connect to the TPU relay at import time, before a --platform cpu
         # override can take effect (and blocks every CLI if the relay is
-        # unreachable).
+        # unreachable).  An UNSET env means the default backend -- the TPU
+        # relay on production machines -- so the cache stays ON (the driver
+        # invokes bench.py with no JAX_PLATFORMS; cold setup compiles cost
+        # minutes).  Callers that pin CPU after import (cli --platform cpu,
+        # __graft_entry__ fallback) un-configure the cache themselves.
         _plat = (os.environ.get("JAX_PLATFORMS") or "").lower()
-        if _plat and "cpu" not in _plat:
+        if "cpu" not in _plat:
             _cache_dir = (os.environ.get("JAX_COMPILATION_CACHE_DIR")
                           or os.path.expanduser("~/.cache/ddalphaamg_tpu/xla"))
             os.makedirs(_cache_dir, exist_ok=True)

@@ -38,6 +38,11 @@ def main(argv=None):
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+        if "cpu" in args.platform:
+            # package import may have enabled the persistent compile cache
+            # assuming the default TPU backend; never persist XLA:CPU
+            # executables (machine-specific AOT code, SIGILL risk)
+            jax.config.update("jax_compilation_cache_dir", None)
 
     from . import api, config
 
