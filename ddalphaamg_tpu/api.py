@@ -57,6 +57,7 @@ class SolveInfo:
     solve_time: float
     coarse_average: float = 0.0
     memory_mb: float = 0.0          # device-memory high water (main.h:88-140)
+    inner_restart_cap: int = 0      # multi-RHS inner GCR length actually used
 
 
 _SCHEMES = {1: "additive", 2: "red_black", 3: "sixteen_color"}
@@ -453,12 +454,18 @@ class Solver:
             zero = jnp.zeros((B, 4, 3, t, z, y * x_), jnp.float32)
             x = dfm.CDF(dfm.DF(zero, zero), dfm.DF(zero, zero))
 
-        # device-resident GCR basis memory scales with B: shrink the
-        # restart length cap accordingly (see _solve_df_device)
+        # device-resident GCR basis memory scales with B x restart length:
+        # cap the inner restart length so the two GCR bases stay within
+        # DDAAMG_INNER_BASIS_BUDGET complex elements (default 150M = ~2.4 GB
+        # of split-f32 basis on a 16 GB chip).  Too small a cap silently
+        # forces extra double-float refreshes per solve -- the cap actually
+        # applied is surfaced in SolveInfo.inner_restart_cap / bench output.
         n_dof = int(np.prod(lat)) * 12
+        budget = int(os.environ.get("DDAAMG_INNER_BASIS_BUDGET", 150_000_000))
         m_cap = int(os.environ.get(
             "DDAAMG_INNER_M_CAP",
-            max(5, min(p.restart_length, 12_000_000 // max(n_dof * B, 1)))))
+            max(5, min(p.restart_length, budget // max(n_dof * B, 1)))))
+        self._last_m_cap = m_cap
 
         it_handles = []
         resvec = []
@@ -522,11 +529,13 @@ class Solver:
             x_log, its, relres, converged, _ = self._solve_df_multi(
                 rhs_batch, tol)
             dt = time.time() - t0
-            from .profiling import hbm_highwater_mb
-            mem = hbm_highwater_mb()
+            from .profiling import solve_memory_mb
+            mem = solve_memory_mb(self)
             infos = [SolveInfo(iterations=int(its[i]), relres=float(relres[i]),
                                converged=bool(converged[i]), solve_time=dt / B,
-                               memory_mb=mem) for i in range(B)]
+                               memory_mb=mem,
+                               inner_restart_cap=getattr(self, "_last_m_cap", 0))
+                     for i in range(B)]
             return x_log, infos
 
         xs, infos = [], []
@@ -646,11 +655,11 @@ class Solver:
         coarse_avg = 0.0
         if self.mg is not None and res.iterations:
             coarse_avg = self.mg.stats["coarse_iterations"] / res.iterations
-        from .profiling import hbm_highwater_mb
+        from .profiling import solve_memory_mb
         info = SolveInfo(iterations=res.iterations, relres=res.relres,
                          converged=res.converged, solve_time=dt,
                          coarse_average=coarse_avg,
-                         memory_mb=hbm_highwater_mb())
+                         memory_mb=solve_memory_mb(self))
         return device_get_complex(res.x), info
 
     def write_test_vectors(self, path: Optional[str] = None,
@@ -668,9 +677,17 @@ class Solver:
 
     def shift_update(self, new_m0: float):
         """Change the mass parameter and re-propagate through the hierarchy
-        (reference shift_update, src/dirac.c:670-691)."""
+        WITHOUT a new setup (reference shift_update,
+        src/dirac_generic.c:504-551 via dd_alpha_amg_set_mass_for_next_solve):
+        the multigrid levels get +delta * I on their self-couplings with
+        factored inverses recomputed -- O(1) device work.  Non-multigrid
+        preconditioners are simply rebuilt (they carry no adaptive state)."""
         delta = new_m0 - self.p.m0
+        if delta == 0.0:
+            return
         self.p.m0 = new_m0
         self.op = shift_diagonal(self.op, delta)
-        if self.preconditioner is not None:
+        if self.mg is not None:
+            self.mg.shift_update(delta)
+        elif self.preconditioner is not None:
             self.setup()

@@ -21,6 +21,8 @@ U layout everywhere: [4, T, Z, Y, X, 3, 3] with direction order (T,Z,Y,X).
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -104,7 +106,19 @@ def compute_clover(U: jnp.ndarray, m0: float, csw: float,
       C = (4 + m0) I_12 - csw * sum_{mu<nu} (gamma_mu gamma_nu) (x) Qdiff_{mu nu}.
     With csw == 0 the result is just the diagonal shift (kept dense so the
     apply path is uniform).  Reference: src/dirac.c:24-58, 374-402.
+
+    Runs as ONE jitted program (m0 is traced, so mass changes reuse the
+    compile): the eager form was hundreds of per-primitive dispatches --
+    ~560 s of set_conf time at 16^4 on a ~27 ms-dispatch TPU relay.
     """
+    rdt = U.re.dtype if cplx.is_split(U) else np.zeros(
+        (), np.dtype(U.dtype)).real.dtype
+    return _compute_clover_jit(U, jnp.asarray(m0, rdt), float(csw),
+                               basis_name)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _compute_clover_jit(U, m0, csw: float, basis_name):
     basis = get_basis(basis_name) if basis_name else get_basis()
     lat = U.shape[1:5]
     split = cplx.is_split(U)

@@ -115,6 +115,33 @@ def _dense_schur_kernel(stencil, idx, rdtype=None):
     return dense_schur_inverse(stencil, idx, rdtype=rdtype)
 
 
+@partial(jax.jit, static_argnames=("geom", "dtype", "soa"))
+def _fine_stencil_kernel(op, geom, dtype, soa: bool):
+    """Depth-0 stencil build as ONE device program (eagerly: ~100 tiny
+    dispatches for herm_inv + SoA relayouts + clover packing, seconds of
+    fixed cost on a ~27 ms-dispatch TPU relay)."""
+    cls = WilsonStencilSoA if soa else WilsonStencil
+    return cls.build(op, geom, dtype=dtype)
+
+
+def _replicate_constraint(v, mesh):
+    """Force a traced field to the replicated layout (the gathering step at
+    a sharded->replicated level boundary; one all-gather of a tiny coarse
+    field, reference vector_PRECISION_gather src/gathering_generic.c:285)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    f = lambda a: jax.lax.with_sharding_constraint(
+        a, NamedSharding(mesh, PartitionSpec()))
+    if cplx.is_split(v):
+        return cplx.CArray(f(v.re), f(v.im))
+    return f(v)
+
+
+@jax.jit
+def _shift_kernel(stencil, delta):
+    from ..operators.stencil import shift_stencil
+    return shift_stencil(stencil, delta)
+
+
 @jax.jit
 def _gram_schmidt_kernel(tvs):
     n = tvs.shape[0]
@@ -175,6 +202,13 @@ class MGConfig:
     # iterations per cycle become ONE MXU matvec.  Rebuilt by re_setup;
     # only sensible while sites x 2N_tv stays a few thousand.
     coarsest_direct: bool = False
+    # intermediate-level gathering threshold (reference idle-rank gathering,
+    # src/gathering_generic.c:44-209): an intermediate level whose per-device
+    # site count under the mesh falls below this is REPLICATED instead of
+    # sharded -- its ops become latency-free local compute and only the tiny
+    # restrict/interpolate boundary pays one collective.  The coarsest level
+    # is always replicated.
+    min_local_sites: int = 256
 
     @property
     def use_soa(self):
@@ -209,6 +243,10 @@ class MGLevel:
     cycle_stencil: Optional[tuple] = None
     # [n, n] inverse of the full coarsest operator (coarsest_direct)
     dense_inv: Optional[object] = None
+    # under a mesh: True when this level's arrays are replicated instead of
+    # sharded (coarsest always; intermediates below min_local_sites --
+    # the reference's idle-rank gathering analog)
+    replicated: bool = False
 
     @property
     def is_coarsest(self):
@@ -261,30 +299,55 @@ class Multigrid:
     # hierarchy construction
     # ------------------------------------------------------------------
 
+    def _level_local_sites(self, level: MGLevel) -> int:
+        """Per-device site count this level would have if sharded."""
+        from ..operators.stencil import CoarseStencilSoA
+        from ..parallel.shard_ops import local_lattice as soa_local
+        mesh = self.cfg.mesh
+        lat = level.geom.lattice
+        if isinstance(level.stencil, (WilsonStencilSoA, CoarseStencilSoA)):
+            return int(np.prod(soa_local(mesh, lat)))
+        loc = [lat[mu] // mesh.shape[ax]
+               if lat[mu] % mesh.shape[ax] == 0 else lat[mu]
+               for mu, ax in enumerate(("t", "z", "y", "x"))]
+        return int(np.prod(loc))
+
     def _shard_level(self, level: MGLevel):
-        """Apply the production distribution to a level's arrays
-        (4D domain decomposition on fine/intermediate levels, replication on
-        the coarsest -- reference gathering_PRECISION_setup analog)."""
+        """Apply the production distribution to a level's arrays: 4D domain
+        decomposition on large levels; REPLICATION on the coarsest and on
+        any intermediate level whose per-device volume falls below
+        min_local_sites (the reference's idle-rank gathering,
+        src/gathering_generic.c:44-209: coarse levels run on rank subsets
+        because sharding tiny problems is all latency; on TPU the idiomatic
+        subset is "every device, redundantly")."""
         mesh = self.cfg.mesh
         if mesh is None:
             return
         from .. import parallel
         # coarsest = last configured level (level.next may not be linked yet
         # during the build loop)
-        if level.depth == self.cfg.num_levels - 1 and level.depth > 0:
-            level.stencil = parallel.replicate_stencil(mesh, level.stencil)
-        else:
-            level.stencil = parallel.shard_stencil(mesh, level.stencil)
+        last = level.depth == self.cfg.num_levels - 1 and level.depth > 0
+        small = (level.depth > 0 and not last
+                 and self._level_local_sites(level) < self.cfg.min_local_sites)
+        level.replicated = bool(last or small)
         from ..operators.stencil import CoarseStencilSoA
         is_soa = isinstance(level.stencil, (WilsonStencilSoA, CoarseStencilSoA))
+        if level.replicated:
+            level.stencil = parallel.replicate_stencil(mesh, level.stencil)
+            shard_f = lambda v, **_: parallel.replicate(mesh, v)
+            shard_tv = shard_f
+        else:
+            level.stencil = parallel.shard_stencil(mesh, level.stencil)
+            shard_f = lambda v: parallel.shard_field(
+                mesh, v, level.geom.lattice, soa=is_soa)
+            shard_tv = lambda v: parallel.shard_stacked_field(
+                mesh, v, level.geom.lattice, soa=is_soa)
         if level.smoother is not None:
             level.smoother.replace_stencil(level.stencil)
             level.smoother.colors = tuple(
-                parallel.shard_field(mesh, c, level.geom.lattice, soa=is_soa)
-                for c in level.smoother.colors)
+                shard_f(c) for c in level.smoother.colors)
         if level.test_vectors is not None:
-            level.test_vectors = parallel.shard_stacked_field(
-                mesh, level.test_vectors, level.geom.lattice, soa=is_soa)
+            level.test_vectors = shard_tv(level.test_vectors)
         if level.P is not None:
             level.P = parallel.shard_interpolation(
                 mesh, level.P, level.agg.coarse_lattice)
@@ -297,11 +360,10 @@ class Multigrid:
             geom = Geometry(lattice=tuple(lc.lattice), block=tuple(lc.block))
             galerkin_op = None
             if d == 0:
+                stencil = _fine_stencil_kernel(op, geom, cfg.dtype,
+                                               soa=cfg.use_soa)
                 if cfg.use_soa:
-                    stencil = WilsonStencilSoA.build(op, geom, dtype=cfg.dtype)
                     galerkin_op = op.astype(cfg.dtype)
-                else:
-                    stencil = WilsonStencil.build(op, geom, dtype=cfg.dtype)
             else:
                 prev = levels[-1]
                 agg = Aggregation(
@@ -482,6 +544,8 @@ class Multigrid:
             ns = data[depth + 1]["stencil"]
             b_c = ns.from_logical(
                 restrict(level.agg, data[depth]["P"], s.to_logical(r)))
+            if nxt.replicated and cfg.mesh is not None:
+                b_c = _replicate_constraint(b_c, cfg.mesh)
             if nxt.is_coarsest:
                 x_cs, it = self._coarsest_solve_traced(
                     ns, nxt.geom, b_c, cfg.coarse_tol,
@@ -652,6 +716,8 @@ class Multigrid:
         ns = data[depth + 1]["stencil"]
         b_c = ns.from_logical(
             restrict(level.agg, data[depth]["P"], s.to_logical(tv)))
+        if nxt.replicated and cfg.mesh is not None:
+            b_c = _replicate_constraint(b_c, cfg.mesh)
         if nxt.is_coarsest:
             x_c, _ = self._coarsest_solve_traced(
                 ns, nxt.geom, b_c, cfg.coarse_tol,
@@ -756,6 +822,27 @@ class Multigrid:
             sub = max(1, round(level.next.cfg.setup_iter * setup_iter
                                / max(1, level.cfg.setup_iter)))
             self._inv_iter_fcycle(level.next, sub)
+
+    def shift_update(self, delta: float):
+        """O(1) mass-shift propagation through the whole hierarchy
+        (reference shift_update, src/dirac_generic.c:504-551 via
+        src/dirac.c:321): every level's self-coupling gets +delta * I (the
+        Galerkin projection of a fine-grid shift is exactly diagonal since
+        P^H P = I), factored inverses are recomputed, and the coarsest dense
+        inverse is invalidated for lazy rebuild.  NO bootstrap, NO Galerkin
+        triple product -- microseconds of device work where a full setup()
+        pays minutes."""
+        rdtype = np.zeros((), np.dtype(self.cfg.dtype)).real.dtype
+        d = jnp.asarray(float(delta), rdtype)
+        for lvl in self._levels():
+            lvl.stencil = _shift_kernel(lvl.stencil, d)
+            if lvl.smoother is not None:
+                lvl.smoother.replace_stencil(lvl.stencil)
+            lvl.cycle_stencil = None
+            lvl.dense_inv = None
+            if lvl.galerkin_op is not None:
+                from ..operators.wilson import shift_diagonal
+                lvl.galerkin_op = shift_diagonal(lvl.galerkin_op, float(delta))
 
     def set_test_vectors(self, tvs):
         """Install depth-0 test vectors (e.g. from a checkpoint file) and

@@ -207,7 +207,7 @@ class CoarseStencil(_LogicalLayout):
 @partial(jax.tree_util.register_dataclass,
          data_fields=["A", "Df", "Db", "Df_intra", "Db_intra", "A_inv",
                       "even", "odd"],
-         meta_fields=["geom"])
+         meta_fields=["geom", "mesh"])
 @dataclasses.dataclass(frozen=True)
 class CoarseStencilSoA:
     """Coarse-grid block stencil in dof-major SoA layout: A [d,d,T,Z,M],
@@ -230,6 +230,10 @@ class CoarseStencilSoA:
     even: jnp.ndarray      # [T,Z,M]
     odd: jnp.ndarray
     geom: Geometry
+    # 4D device mesh: when set (parallel.shard_stencil), every op runs as a
+    # shard_map over per-device sub-lattices with explicit face exchange
+    # (parallel/shard_ops.py) instead of GSPMD-partitioned global rolls
+    mesh: object = None
 
     @classmethod
     def build(cls, cop: CoarseOperator, geom: Geometry,
@@ -322,6 +326,9 @@ class CoarseStencilSoA:
         return cplx.einsum("ij...,j...->i...", blk, v)
 
     def hop(self, v):
+        if self.mesh is not None:
+            from ..parallel.shard_ops import coarse_sharded
+            return coarse_sharded(self, v, "hop")
         roll = self._roll()
         out = None
         for mu in range(4):
@@ -331,18 +338,33 @@ class CoarseStencilSoA:
         return out
 
     def full_op(self, v):
+        if self.mesh is not None:
+            from ..parallel.shard_ops import coarse_sharded
+            return coarse_sharded(self, v, "full")
         return self._mv(self.A, v) + self.hop(v)
 
     def block_op(self, v):
+        if self.mesh is not None:
+            from ..parallel.shard_ops import coarse_sharded
+            return coarse_sharded(self, v, "block")
         return self._mv(self.A, v) + self.hop_intra(v)
 
     def self_op(self, v):
+        if self.mesh is not None:
+            from ..parallel.shard_ops import coarse_sharded
+            return coarse_sharded(self, v, "self")
         return self._mv(self.A, v)
 
     def self_inv(self, v, mask):
+        if self.mesh is not None:
+            from ..parallel.shard_ops import coarse_sharded
+            return coarse_sharded(self, v, "self_inv", mask=mask)
         return self._mv(self.A_inv, mask * v)
 
     def hop_intra(self, v):
+        if self.mesh is not None:
+            from ..parallel.shard_ops import coarse_sharded
+            return coarse_sharded(self, v, "hop_intra")
         roll = self._roll()
         out = None
         for mu in range(4):
@@ -392,6 +414,64 @@ def _transpose_any(a, axes):
     if cplx.is_split(a):
         return cplx.CArray(jnp.transpose(a.re, axes), jnp.transpose(a.im, axes))
     return jnp.transpose(a, axes)
+
+
+def _add_diag(a, delta, diag_axes):
+    """a + delta * I on the two (equal-length) axes `diag_axes` of a
+    (possibly split) block tensor; delta is a traced real scalar."""
+    d = a.shape[diag_axes[0]]
+    nd = a.re.ndim if cplx.is_split(a) else a.ndim
+    shape = [1] * nd
+    shape[diag_axes[0]] = d
+    shape[diag_axes[1]] = d
+    eye = np.eye(d, dtype=np.float64)
+    if diag_axes[0] > diag_axes[1]:
+        eye = eye.T  # symmetric anyway; kept for clarity
+    eye = eye.reshape(shape)
+    if cplx.is_split(a):
+        return cplx.CArray(a.re + delta * jnp.asarray(eye, a.re.dtype), a.im)
+    return a + (delta * jnp.asarray(eye, a.real.dtype)).astype(a.dtype)
+
+
+def shift_stencil(s, delta):
+    """The stencil with self-coupling shifted by +delta * I, factored
+    inverses recomputed -- the per-level body of the O(1) mass update
+    (reference shift_update / operator_updates re-propagation,
+    src/dirac_generic.c:504-551, src/dirac.c:321): since P^H P = I per
+    aggregate x chirality, a fine-grid shift D + delta*I Galerkin-projects
+    to EXACTLY A_c + delta*I on every coarse level, so no Galerkin rebuild
+    (let alone bootstrap) is needed.  `delta` is a traced real scalar
+    (jit-cached across scan values)."""
+    if isinstance(s, WilsonStencil):
+        clov = _add_diag(s.clover, delta, (-2, -1))
+        return dataclasses.replace(s, clover=clov,
+                                   clover_inv=cplx.herm_inv(clov))
+    if isinstance(s, CoarseStencil):
+        A = _add_diag(s.A, delta, (-2, -1))
+        return dataclasses.replace(s, A=A, A_inv=cplx.inv(A))
+    if isinstance(s, CoarseStencilSoA):
+        A = _add_diag(s.A, delta, (0, 1))
+        nd = A.re.ndim if cplx.is_split(A) else A.ndim
+        to_blk = list(range(2, nd)) + [0, 1]
+        A_l = _transpose_any(A, to_blk)
+        inv_l = cplx.inv(A_l)
+        from_blk = [nd - 2, nd - 1] + list(range(nd - 2))
+        return dataclasses.replace(s, A=A,
+                                   A_inv=_transpose_any(inv_l, from_blk))
+    if isinstance(s, WilsonStencilSoA):
+        from . import fast, pallas_dslash
+        clov = _add_diag(s.clover, delta, (1, 2))
+        nd = clov.re.ndim
+        to_blk = [0] + list(range(3, nd)) + [1, 2]
+        inv_l = cplx.herm_inv(_transpose_any(clov, to_blk))
+        from_blk = [0, nd - 2, nd - 1] + list(range(1, nd - 2))
+        clov_inv = _transpose_any(inv_l, from_blk)
+        cdiag, coff = pallas_dslash.pack_clover(clov)
+        cdiag_inv, coff_inv = pallas_dslash.pack_clover(clov_inv)
+        return dataclasses.replace(s, clover=clov, clover_inv=clov_inv,
+                                   cdiag=cdiag, coff=coff,
+                                   cdiag_inv=cdiag_inv, coff_inv=coff_inv)
+    raise TypeError(type(s))
 
 
 def dense_inverse(s, rdtype=None, chunk=256):
@@ -539,11 +619,17 @@ def _cached_rollers(lattice, rdtype_name):
     return fast.make_rollers(lattice, rdtype=jnp.dtype(rdtype_name))
 
 
+def _interp() -> bool:
+    """Pallas interpret mode on non-TPU backends (CPU mesh tests drive the
+    production kernels without hardware)."""
+    return jax.default_backend() != "tpu"
+
+
 @partial(jax.tree_util.register_dataclass,
          data_fields=["links", "links_intra", "clover", "clover_inv",
                       "cdiag", "coff", "cdiag_inv", "coff_inv",
                       "even", "odd"],
-         meta_fields=["geom", "use_pallas"])
+         meta_fields=["geom", "use_pallas", "mesh"])
 @dataclasses.dataclass(frozen=True)
 class WilsonStencilSoA:
     """Fine-grid Wilson-clover stencil in the TPU-native SoA layout
@@ -568,6 +654,10 @@ class WilsonStencilSoA:
     odd: jnp.ndarray
     geom: Geometry
     use_pallas: bool
+    # 4D device mesh: when set, ops run shard_map-local kernels + half-spinor
+    # face corrections (parallel/shard_ops.py) -- the production multi-chip
+    # path (reference d_plus_clover comm overlap, src/dirac_generic.c:188-262)
+    mesh: object = None
 
     @classmethod
     def build(cls, op: WilsonOperator, geom: Geometry, dtype=None,
@@ -579,7 +669,9 @@ class WilsonStencilSoA:
             op = op.split()
         rdtype = op.links.re.dtype
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            import os
+            use_pallas = (jax.default_backend() == "tpu"
+                          or bool(os.environ.get("DDAAMG_FORCE_PALLAS")))
         intra = op.links * jnp.asarray(_link_intra_mask(geom), dtype=rdtype)
         links = fast.links_to_soa(op.links)
         clover = fast.clover_to_soa(op.clover)
@@ -614,44 +706,59 @@ class WilsonStencilSoA:
 
     def full_op(self, v):
         from . import fast
+        if self.mesh is not None:
+            from ..parallel.shard_ops import wilson_sharded
+            return wilson_sharded(self, v, "full")
         if self.use_pallas:
-            fn = _cached_pallas_dslash(self.geom.lattice, None, False)
+            fn = _cached_pallas_dslash(self.geom.lattice, None, _interp())
             return fn(self.links, self.cdiag, self.coff, v)
         return fast.d_plus_clover_soa(self.links, self.clover, v, self._roll())
 
     def block_op(self, v):
         from . import fast
+        if self.mesh is not None:
+            from ..parallel.shard_ops import wilson_sharded
+            return wilson_sharded(self, v, "block")
         if self.use_pallas:
             # the block (Schwarz) operator IS the fused kernel with the
             # boundary-masked links (reference SSE block_d_plus_clover,
             # src/sse_dirac_generic.c:27-124)
-            fn = _cached_pallas_dslash(self.geom.lattice, None, False)
+            fn = _cached_pallas_dslash(self.geom.lattice, None, _interp())
             return fn(self.links_intra, self.cdiag, self.coff, v)
         return (fast.clover_apply_soa(self.clover, v)
                 + fast.dslash_hopping_soa(self.links_intra, v, self._roll()))
 
     def self_op(self, v):
         from . import fast
+        if self.mesh is not None:
+            from ..parallel.shard_ops import wilson_sharded
+            return wilson_sharded(self, v, "self")
         if self.use_pallas:
-            fn = _cached_pallas_dslash(self.geom.lattice, None, False,
+            fn = _cached_pallas_dslash(self.geom.lattice, None, _interp(),
                                        mode="clover")
             return fn(self.cdiag, self.coff, v)
         return fast.clover_apply_soa(self.clover, v)
 
     def self_inv(self, v, mask):
         from . import fast
+        if self.mesh is not None:
+            from ..parallel.shard_ops import wilson_sharded
+            return wilson_sharded(self, v, "self_inv", mask=mask)
         if self.use_pallas:
             # packed-inverse clover application (reference site Cholesky
             # solves, src/sse_oddeven_generic.c:208)
-            fn = _cached_pallas_dslash(self.geom.lattice, None, False,
+            fn = _cached_pallas_dslash(self.geom.lattice, None, _interp(),
                                        mode="clover")
             return fn(self.cdiag_inv, self.coff_inv, mask * v)
         return fast.clover_apply_soa(self.clover_inv, mask * v)
 
     def hop_intra(self, v):
         from . import fast
+        if self.mesh is not None:
+            from ..parallel.shard_ops import wilson_sharded
+            return wilson_sharded(self, v, "hop_intra")
         if self.use_pallas:
-            fn = _cached_pallas_dslash(self.geom.lattice, None, False,
+            fn = _cached_pallas_dslash(self.geom.lattice, None, _interp(),
                                        mode="hop")
             return fn(self.links_intra, v)
         return fast.dslash_hopping_soa(self.links_intra, v, self._roll())

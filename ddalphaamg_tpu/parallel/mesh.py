@@ -132,6 +132,22 @@ def shard_stencil(mesh: Mesh, s):
     def put(x, spec):
         return _put(x, NamedSharding(mesh, spec))
 
+    def _soa_mesh(stencil):
+        """The mesh a sharded SoA stencil's ops should shard_map over: the
+        solver mesh when any t/z axis actively shards, else None (ops run
+        the plain local path).  Schwarz blocks must divide the per-device
+        sub-lattice so block-restricted ops stay zero-communication
+        (parallel/shard_ops.py)."""
+        from .shard_ops import active_axes, local_lattice
+        if not active_axes(mesh, lat):
+            return None
+        loc = local_lattice(mesh, lat)
+        blk = stencil.geom.block
+        assert all(blk[mu] <= 1 or loc[mu] % blk[mu] == 0 for mu in range(4)), (
+            f"Schwarz block {blk} does not divide the local lattice {loc} "
+            f"(mesh {dict(mesh.shape)}): block ops would cross shards")
+        return mesh
+
     if isinstance(s, CoarseStencilSoA):
         if mesh.shape["y"] > 1 or mesh.shape["x"] > 1:
             raise ValueError(
@@ -147,6 +163,7 @@ def shard_stencil(mesh: Mesh, s):
             A_inv=put(s.A_inv, soa_spec(mesh, lat, lead=2)),
             even=put(s.even, soa_spec(mesh, lat)),
             odd=put(s.odd, soa_spec(mesh, lat)),
+            mesh=_soa_mesh(s),
         )
 
     if isinstance(s, WilsonStencilSoA):
@@ -166,6 +183,7 @@ def shard_stencil(mesh: Mesh, s):
             coff_inv=put(s.coff_inv, soa_spec(mesh, lat, lead=2)),
             even=put(s.even, soa_spec(mesh, lat)),
             odd=put(s.odd, soa_spec(mesh, lat)),
+            mesh=_soa_mesh(s),
         )
     if isinstance(s, WilsonStencil):
         return dataclasses.replace(
@@ -194,11 +212,13 @@ def shard_stencil(mesh: Mesh, s):
 
 def replicate_stencil(mesh: Mesh, s):
     """Fully replicate a (coarse) stencil -- the coarsest-level 'gathering'
-    analog: every device redundantly holds and solves the tiny problem."""
+    analog: every device redundantly holds and solves the tiny problem.
+    mesh stays None on the stencil: its ops run the plain local path."""
     import dataclasses
     fields = {f.name: replicate(mesh, getattr(s, f.name))
               for f in dataclasses.fields(s)
-              if f.name != "geom" and getattr(s, f.name) is not None
+              if f.name not in ("geom", "mesh")
+              and getattr(s, f.name) is not None
               and not isinstance(getattr(s, f.name), (bool, str, int, float))}
     return dataclasses.replace(s, **fields)
 

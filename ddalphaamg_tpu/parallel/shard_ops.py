@@ -1,0 +1,220 @@
+"""Production sharded stencil ops: every SoA stencil operation under a
+device mesh runs as a shard_map region -- the UNMODIFIED local kernel
+(fused Pallas Dslash or XLA SoA ops) on each device's sub-lattice, plus
+explicit face exchange only where couplings cross shard boundaries.
+
+This is the TPU rebuild of the reference's distributed kernels, where every
+operator apply at every level does compressed, overlapped halo exchange
+(src/dirac_generic.c:188-262, src/ghost_generic.c:99-104, coarse hopping
+src/coarse_oddeven_generic.c:447-583):
+
+  * full_op (fine):  local fused kernel (wraps T/Z periodically within the
+    shard) + half-spinor face corrections per sharded direction
+    (parallel/soa_halo.py math; the reference's prn/prp compression).
+  * full_op / hop (coarse):  the 8 directional block matvecs with the T/Z
+    neighbor slices fetched by ppermute (one face per direction over the
+    wire; src/coarse_oddeven_generic.c:447-583).
+  * block_op / hop_intra / self_op / self_inv:  ZERO communication.  Schwarz
+    blocks divide the local lattice (asserted at shard time), so every
+    block-crossing coupling at a shard boundary is already masked to zero in
+    links_intra / Df_intra / Db_intra -- the local kernel's periodic wrap
+    reads wrong data that is multiplied by a zero link.  This mirrors the
+    reference, whose Schwarz block solves are process-local by construction
+    (src/schwarz_generic.c:312-645).
+
+Because each correction/face term is independent of the bulk kernel, XLA's
+scheduler is free to overlap the collective-permutes with the local compute
+(the reference's MPI_Isend/Irecv-interleaved mu-loop, without hand
+scheduling).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from .. import cplx
+from ..gamma import get_basis
+from ..geometry import Geometry
+from .halo import _shard_map
+from .mesh import AXES, soa_spec
+from .soa_halo import _face_corrections
+
+SOA_AXIS = {0: -3, 1: -2}     # t, z positions in [..., T, Z, M]
+
+
+def _smap(f, mesh, in_specs, out_specs):
+    """shard_map with varying-mesh-axes checking off: pallas_call inside the
+    body has no vma annotation support (jax 0.9)."""
+    try:
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=False)
+    except TypeError:  # pragma: no cover (older jax: check_rep)
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_rep=False)
+
+
+def active_axes(mesh, lattice):
+    """The mesh axes along which SoA arrays are actually sharded."""
+    return tuple(mu for mu in (0, 1)
+                 if mesh.shape[AXES[mu]] > 1
+                 and lattice[mu] % mesh.shape[AXES[mu]] == 0)
+
+
+def local_lattice(mesh, lattice):
+    return tuple(
+        lattice[mu] // mesh.shape[AXES[mu]] if mu in active_axes(mesh, lattice)
+        else lattice[mu] for mu in range(4))
+
+
+def _localize(s, lat_local):
+    """The per-shard view of a stencil: local geometry, no mesh (so its ops
+    run the plain single-device path inside the shard_map body)."""
+    block = s.geom.block
+    if any(lat_local[mu] % block[mu] != 0 for mu in range(4)):
+        block = (1, 1, 1, 1)
+    return dataclasses.replace(
+        s, geom=Geometry(lattice=lat_local, block=block, dof=s.geom.dof),
+        mesh=None)
+
+
+def _spec_tree(s, mesh):
+    """Same-type dataclass whose data fields are PartitionSpecs -- a pytree
+    prefix for shard_map in_specs (each spec covers the CArray planes
+    beneath it)."""
+    lat = s.geom.lattice
+    specs = {}
+    for f in dataclasses.fields(s):
+        v = getattr(s, f.name)
+        if f.name in ("geom", "use_pallas", "mesh") or v is None:
+            continue
+        nd = v.re.ndim if cplx.is_split(v) else v.ndim
+        specs[f.name] = soa_spec(mesh, lat, lead=nd - 3)
+    return dataclasses.replace(s, **specs)
+
+
+def field_spec(s):
+    nd = len(s.field_shape)
+    return soa_spec(s.mesh, s.geom.lattice, lead=nd - 3)
+
+
+def _shift(x, shift, mu, mesh_shape, roll):
+    """Periodic neighbor fetch across shards for SoA fields [..., T, Z, M]:
+    sharded t/z axes exchange one face slice by ppermute; everything else is
+    the local roller (reference ghost_sendrecv + boundary table,
+    src/ghost_generic.c:171-345)."""
+    n = mesh_shape.get(AXES[mu], 1) if mu < 2 else 1
+    if n == 1:
+        return roll(x, shift, mu)
+    axis = SOA_AXIS[mu]
+    name = AXES[mu]
+    size = x.re.shape[axis] if cplx.is_split(x) else x.shape[axis]
+
+    def sl(a, start, stop):
+        idx = [slice(None)] * (a.re.ndim if cplx.is_split(a) else a.ndim)
+        idx[axis] = slice(start, stop)
+        return a[tuple(idx)] if not cplx.is_split(a) else cplx.CArray(
+            a.re[tuple(idx)], a.im[tuple(idx)])
+
+    def pp(a, perm):
+        if cplx.is_split(a):
+            return cplx.CArray(lax.ppermute(a.re, name, perm),
+                               lax.ppermute(a.im, name, perm))
+        return lax.ppermute(a, name, perm)
+
+    if shift == -1:      # fetch x(site + mu): my first slice -> -mu neighbor
+        recv = pp(sl(x, 0, 1), [((j + 1) % n, j) for j in range(n)])
+        return cplx.concatenate([sl(x, 1, size), recv], axis=axis) \
+            if cplx.is_split(x) else jax.numpy.concatenate(
+                [sl(x, 1, size), recv], axis=axis)
+    if shift == 1:       # fetch x(site - mu): my last slice -> +mu neighbor
+        recv = pp(sl(x, size - 1, size), [((j - 1) % n, j) for j in range(n)])
+        return cplx.concatenate([recv, sl(x, 0, size - 1)], axis=axis) \
+            if cplx.is_split(x) else jax.numpy.concatenate(
+                [recv, sl(x, 0, size - 1)], axis=axis)
+    raise ValueError(shift)
+
+
+# ---------------------------------------------------------------------------
+# fine level (WilsonStencilSoA)
+# ---------------------------------------------------------------------------
+
+def wilson_sharded(s, v, which, mask=None):
+    """Dispatch a WilsonStencilSoA op over its mesh.
+
+    which: 'full' (face-corrected), or the zero-comm ops 'block', 'self',
+    'self_inv', 'hop_intra'."""
+    mesh = s.mesh
+    lat = s.geom.lattice
+    lat_local = local_lattice(mesh, lat)
+    mesh_shape = dict(mesh.shape)
+    basis = get_basis()
+    vspec = field_spec(s)
+    spec_s = _spec_tree(s, mesh)
+
+    if which == "full":
+        def local_fn(sl, vl):
+            sl = _localize(sl, lat_local)
+            out = sl.full_op(vl)
+            return _face_corrections(sl, vl, out, mesh_shape, basis)
+        return _smap(local_fn, mesh, (spec_s, vspec), vspec)(s, v)
+
+    if which == "self_inv":
+        def local_fn(sl, vl, ml):
+            sl = _localize(sl, lat_local)
+            return sl.self_inv(vl, ml)
+        mspec = soa_spec(mesh, lat)
+        return _smap(local_fn, mesh, (spec_s, vspec, mspec), vspec)(s, v, mask)
+
+    def local_fn(sl, vl):
+        sl = _localize(sl, lat_local)
+        return getattr(sl, {"block": "block_op", "self": "self_op",
+                            "hop_intra": "hop_intra"}[which])(vl)
+    return _smap(local_fn, mesh, (spec_s, vspec), vspec)(s, v)
+
+
+# ---------------------------------------------------------------------------
+# coarse levels (CoarseStencilSoA)
+# ---------------------------------------------------------------------------
+
+def coarse_sharded(s, v, which, mask=None):
+    """Dispatch a CoarseStencilSoA op over its mesh.
+
+    'full' and 'hop' fetch T/Z neighbor faces by ppermute (the coarse
+    hopping term's per-direction exchange,
+    src/coarse_oddeven_generic.c:447-583); the rest are zero-comm."""
+    mesh = s.mesh
+    lat = s.geom.lattice
+    lat_local = local_lattice(mesh, lat)
+    mesh_shape = dict(mesh.shape)
+    vspec = field_spec(s)
+    spec_s = _spec_tree(s, mesh)
+
+    if which in ("full", "hop"):
+        def local_fn(sl, vl):
+            sl = _localize(sl, lat_local)
+            roll = sl._roll()
+            out = sl._mv(sl.A, vl) if which == "full" else None
+            for mu in range(4):
+                t = sl._mv(sl.Df[mu], _shift(vl, -1, mu, mesh_shape, roll))
+                t = t + sl._mv(sl.Db[mu], _shift(vl, 1, mu, mesh_shape, roll))
+                out = t if out is None else out + t
+            return out
+        return _smap(local_fn, mesh, (spec_s, vspec), vspec)(s, v)
+
+    if which == "self_inv":
+        def local_fn(sl, vl, ml):
+            sl = _localize(sl, lat_local)
+            return sl.self_inv(vl, ml)
+        mspec = soa_spec(mesh, lat)
+        return _smap(local_fn, mesh, (spec_s, vspec, mspec), vspec)(s, v, mask)
+
+    def local_fn(sl, vl):
+        sl = _localize(sl, lat_local)
+        return getattr(sl, {"block": "block_op", "self": "self_op",
+                            "hop_intra": "hop_intra"}[which])(vl)
+    return _smap(local_fn, mesh, (spec_s, vspec), vspec)(s, v)

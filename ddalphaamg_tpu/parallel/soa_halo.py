@@ -158,50 +158,15 @@ def _face_corrections(s, phi, out, mesh_shape, basis):
 
 def soa_dslash_shmap(mesh, stencil, phi, basis_name=None):
     """full_op of a WilsonStencilSoA over a (t, z)-sharded mesh: local fused
-    kernel + half-spinor face corrections.  phi: SoA [4,3,T,Z,M]."""
+    kernel + half-spinor face corrections.  phi: SoA [4,3,T,Z,M].
+
+    Thin compatibility wrapper over the production dispatch
+    (parallel/shard_ops.wilson_sharded, which every stencil op routes
+    through when a mesh is attached)."""
+    import dataclasses
+
+    from .shard_ops import wilson_sharded
     if mesh.shape["y"] > 1 or mesh.shape["x"] > 1:
         raise ValueError("SoA layout shards along t/z only")
-    basis = get_basis(basis_name) if basis_name else get_basis()
-    mesh_shape = dict(mesh.shape)
-    lat = stencil.geom.lattice
-    local_lat = (lat[0] // mesh_shape["t"], lat[1] // mesh_shape["z"],
-                 lat[2], lat[3])
-    use_pallas = stencil.use_pallas
-
-    specs = dict(
-        links=soa_spec(mesh, lat, lead=3),
-        links_intra=soa_spec(mesh, lat, lead=3),
-        clover=soa_spec(mesh, lat, lead=3),
-        clover_inv=soa_spec(mesh, lat, lead=3),
-        cdiag=soa_spec(mesh, lat, lead=2),
-        coff=soa_spec(mesh, lat, lead=2),
-        even=soa_spec(mesh, lat),
-        odd=soa_spec(mesh, lat),
-    )
-    # in_specs as a pytree PREFIX of the stencil dataclass: one spec per
-    # field, applying to both split-complex planes beneath it
-    spec_stencil = type(stencil)(
-        links=specs["links"], links_intra=specs["links_intra"],
-        clover=specs["clover"], clover_inv=specs["clover_inv"],
-        cdiag=specs["cdiag"], coff=specs["coff"],
-        cdiag_inv=specs["cdiag"], coff_inv=specs["coff"],
-        even=specs["even"], odd=specs["odd"],
-        geom=stencil.geom, use_pallas=stencil.use_pallas)
-
-    phi_spec = soa_spec(mesh, lat, lead=2)
-
-    def local_fn(s_loc, v):
-        import dataclasses as _dc
-        # the local stencil's geometry is the local lattice
-        from ..geometry import Geometry
-        geom_loc = Geometry(lattice=local_lat, block=stencil.geom.block
-                            if all(local_lat[i] % stencil.geom.block[i] == 0
-                                   for i in range(4)) else (1, 1, 1, 1))
-        s_loc = _dc.replace(s_loc, geom=geom_loc)
-        out = _local_dslash(s_loc, local_lat, use_pallas)(s_loc, v)
-        return _face_corrections(s_loc, v, out, mesh_shape, basis)
-
-    fn = _shard_map(local_fn, mesh=mesh,
-                    in_specs=(spec_stencil, phi_spec),
-                    out_specs=phi_spec)
-    return fn(stencil, phi)
+    return wilson_sharded(dataclasses.replace(stencil, mesh=mesh),
+                          phi, "full")

@@ -13,6 +13,17 @@ import jax  # noqa: E402
 # JAX_PLATFORMS from the environment; force the CPU backend explicitly.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache for the suite: this box has ONE cpu core and
+# XLA:CPU takes minutes to compile the big split-complex SoA programs
+# (measured 296 s for one sap_smooth at 4^4); with a warm cache the full
+# non-slow suite fits the 10-minute certification budget.  Same-machine CPU
+# executable reuse is safe (the cross-machine SIGILL concern that keeps the
+# package-level cache TPU-only does not apply to a local test cache).
+_cache = os.path.expanduser("~/.cache/ddalphaamg_tpu/xla-cpu-tests")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import pytest  # noqa: E402
 
 
