@@ -44,21 +44,24 @@ from .interpolation import Aggregation, build_interpolation, interpolate, restri
 from functools import partial
 
 
-@partial(jax.jit, static_argnames=("agg", "geom", "n", "soa"))
+@partial(jax.jit, static_argnames=("agg", "geom", "n", "soa", "layout"))
 def _resetup_kernel(stencil, op_galerkin, tvs, agg, geom, n: int,
-                    soa: bool = False):
+                    soa: bool = False, layout: str = "t"):
     """One coarsening rebuild as a single device program: test vectors ->
     logical layout -> aggregate-QR interpolation -> Galerkin triple product
     -> coarse stencil (incl. factorized inverses).  Eagerly this is
     hundreds of tiny dispatches (fatal on a ~26 ms/dispatch TPU relay);
-    jitted it is one.  soa selects the dof-major coarse layout (the TPU
-    AoSoA analog, operators/stencil.py CoarseStencilSoA)."""
+    jitted it is one.  soa selects the packed dof-major coarse layout (the
+    TPU AoSoA analog, operators/stencil.py CoarseStencilSoA); `layout`
+    picks its packed variant ("tz" keeps Z shardable for z-sharded
+    meshes)."""
     from ..operators.stencil import CoarseStencilSoA
     tvs_log = cplx.stack([stencil.to_logical(tvs[i]) for i in range(n)])
     P = build_interpolation(agg, tvs_log)
     cop = build_coarse_operator(op_galerkin, agg, P)
-    cls = CoarseStencilSoA if soa else CoarseStencil
-    return P, cls.build(cop, geom)
+    if soa:
+        return P, CoarseStencilSoA.build(cop, geom, layout=layout)
+    return P, CoarseStencil.build(cop, geom)
 
 
 @jax.jit
@@ -259,7 +262,7 @@ class MGLevel:
             return (4, 3)
         from ..operators.stencil import CoarseStencilSoA
         if isinstance(self.stencil, CoarseStencilSoA):
-            return (self.stencil.A.shape[0],)
+            return (self.stencil.dof,)
         return self.stencil.field_shape[4:]
 
     def tvs_logical(self):
@@ -293,6 +296,10 @@ class Multigrid:
         self._setup_batch_jit = None
         self._2lvl_jit = None
         self._defer_dense = False
+        # packed coarse-block layout: "tz" keeps Z an unfused shardable axis
+        # (operators/pallas_coarse.py) when the mesh shards z
+        self._coarse_layout = ("tz" if mg_cfg.mesh is not None
+                               and mg_cfg.mesh.shape["z"] > 1 else "t")
         self.fine = self._build(op)
 
     # ------------------------------------------------------------------
@@ -379,7 +386,8 @@ class Multigrid:
                 prev.P, stencil = _resetup_kernel(
                     prev.stencil, prev.operator_for_galerkin(),
                     prev.test_vectors, agg, geom,
-                    prev.cfg.num_test_vectors, soa=cfg.use_coarse_soa)
+                    prev.cfg.num_test_vectors, soa=cfg.use_coarse_soa,
+                    layout=self._coarse_layout)
                 if cfg.mesh is not None:
                     from .. import parallel
                     prev.P = parallel.shard_interpolation(
@@ -879,7 +887,7 @@ class Multigrid:
             lvl.P, nxt.stencil = _resetup_kernel(
                 lvl.stencil, lvl.operator_for_galerkin(), lvl.test_vectors,
                 lvl.agg, nxt.geom, lvl.cfg.num_test_vectors,
-                soa=self.cfg.use_coarse_soa)
+                soa=self.cfg.use_coarse_soa, layout=self._coarse_layout)
             if mesh is not None:
                 from .. import parallel
                 lvl.P = parallel.shard_interpolation(mesh, lvl.P,

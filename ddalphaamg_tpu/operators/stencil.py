@@ -205,173 +205,202 @@ class CoarseStencil(_LogicalLayout):
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["A", "Df", "Db", "Df_intra", "Db_intra", "A_inv",
-                      "even", "odd"],
-         meta_fields=["geom", "mesh"])
+         data_fields=["Pk", "Pk_inv", "fwd_m", "bwd_m", "even", "odd"],
+         meta_fields=["geom", "layout", "use_pallas", "mesh"])
 @dataclasses.dataclass(frozen=True)
 class CoarseStencilSoA:
-    """Coarse-grid block stencil in dof-major SoA layout: A [d,d,T,Z,M],
-    Df/Db [4,d,d,T,Z,M], fields [d,T,Z,M] with M = Y*X fused.
+    """Coarse-grid block stencil in PACKED dof-major storage: the 9 stencil
+    terms [A, Df_0..3, Db_0..3] live in one tiling-exact tensor
+    (operators/pallas_coarse.py; "t": [9, T, d*d, Z*Y*X],
+    "tz": [9, T, Z, d*d, Y*X]); fields stay [d, T, Z, M] with M = Y*X.
 
     TPU rationale (the reference's AoSoA coarse layout,
     src/vectorization_control.h:46 / sse_coarse_operator_generic.c:28-230):
-    site-major [.., d, d] blocks compile to batched (d x d) matmuls that
-    occupy (d/128)^2 of the MXU (3.5% at d = 24); dof-major turns the
-    apply into d^2 full-lane VPU multiply-adds over the lattice, the exact
-    analog of the reference packing SIMD-width sites per vector register.
+    the coarse apply is HBM-bound on the 9 d x d block reads per site, and
+    XLA:TPU tiles the two minor dims of every array to (8, 128) -- the old
+    dof-major [d, d, T, Z, M] layout had minor dims (Z, M) = (8, 64)-class,
+    so HALF of every HBM line was tiling padding.  Packing makes the minor
+    dims (d*d, ZM)-class (tiling-exact), so the fused Pallas kernel streams
+    the blocks at the HBM roofline (measured 8^4 d=32: 0.191 ms bf16
+    vs 0.625 ms for the old layout).
+
+    Block-restricted (Schwarz) operators multiply per-direction intra-block
+    masks into the shifted FIELDS, never into the blocks, so ONE packed
+    tensor serves full_op / block_op / hop / hop_intra / self_op -- half
+    the stencil memory of storing masked block copies.
     """
 
-    A: object
-    Df: object
-    Db: object
-    Df_intra: object
-    Db_intra: object
-    A_inv: object
-    even: jnp.ndarray      # [T,Z,M]
+    Pk: object              # packed 9-term blocks [A, Df0..3, Db0..3]
+    Pk_inv: object          # packed 1-term A^-1
+    fwd_m: jnp.ndarray      # [4,T,Z,M] intra-block masks (0 on upper faces)
+    bwd_m: jnp.ndarray      # [4,T,Z,M] (0 on lower faces)
+    even: jnp.ndarray       # [T,Z,M]
     odd: jnp.ndarray
     geom: Geometry
+    # packed layout: "t" fuses Z*Y*X (fastest; single-device / replicated /
+    # t-sharded), "tz" keeps Z a shardable axis (z-sharded meshes)
+    layout: str = "t"
+    use_pallas: bool = False
     # 4D device mesh: when set (parallel.shard_stencil), every op runs as a
     # shard_map over per-device sub-lattices with explicit face exchange
     # (parallel/shard_ops.py) instead of GSPMD-partitioned global rolls
     mesh: object = None
 
     @classmethod
-    def build(cls, cop: CoarseOperator, geom: Geometry,
-              dtype=None) -> "CoarseStencilSoA":
+    def build(cls, cop: CoarseOperator, geom: Geometry, dtype=None,
+              layout: str = "t", use_pallas=None) -> "CoarseStencilSoA":
+        from . import pallas_coarse as pc
+        from .fast import lattice_mask_to_soa
         if dtype is not None:
             cop = cop.astype(dtype)
-        rdtype = cop.A.re.dtype if cplx.is_split(cop.A) else cop.A.real.dtype
-        fwd, bwd = intra_block_masks(geom.lattice, geom.block)
+        split = cplx.is_split(cop.A)
+        rdtype = cop.A.re.dtype if split else cop.A.real.dtype
+        if use_pallas is None:
+            import os
+            use_pallas = split and (jax.default_backend() == "tpu"
+                                    or bool(os.environ.get("DDAAMG_FORCE_PALLAS")))
         t, z, y, x = geom.lattice
-
-        def blk_to_soa(a, lead=0):
-            """[(lead), T,Z,Y,X, d, d] -> [(lead), d, d, T, Z, M]."""
-            nd = (a.re.ndim if cplx.is_split(a) else a.ndim)
-            perm = tuple(range(lead)) + (nd - 2, nd - 1) + tuple(
-                range(lead, lead + 4))
-            out = _transpose_any(a, perm)
-            d = a.shape[-1]
-            lead_shape = a.shape[:lead]
-            return out.reshape(*lead_shape, d, d, t, z, y * x)
-
-        from .fast import lattice_mask_to_soa
+        Bs = cplx.concatenate([cop.A[None], cop.Df, cop.Db], axis=0)
+        Ainv = cplx.inv(cop.A)
+        fwd, bwd = intra_block_masks(geom.lattice, geom.block)
         par = (np.indices(geom.lattice).sum(axis=0) % 2 == 0).astype(np.float64)
         return cls(
-            A=blk_to_soa(cop.A),
-            Df=blk_to_soa(cop.Df, lead=1),
-            Db=blk_to_soa(cop.Db, lead=1),
-            Df_intra=blk_to_soa(cop.Df * jnp.asarray(fwd, dtype=rdtype), lead=1),
-            Db_intra=blk_to_soa(cop.Db * jnp.asarray(bwd, dtype=rdtype), lead=1),
-            A_inv=blk_to_soa(cplx.inv(cop.A)),
+            Pk=pc.pack_blocks(Bs, layout),
+            Pk_inv=pc.pack_blocks(Ainv[None], layout),
+            fwd_m=jnp.asarray(fwd[..., 0, 0].reshape(4, t, z, y * x), rdtype),
+            bwd_m=jnp.asarray(bwd[..., 0, 0].reshape(4, t, z, y * x), rdtype),
             even=lattice_mask_to_soa(par, rdtype),
             odd=lattice_mask_to_soa(1.0 - par, rdtype),
-            geom=geom)
+            geom=geom, layout=layout, use_pallas=bool(use_pallas))
 
     @property
     def dtype(self):
-        return self.A.dtype
+        return self.Pk.dtype
+
+    @property
+    def dof(self) -> int:
+        n2 = self.Pk.shape[2 if self.layout == "t" else 3]
+        return int(round(np.sqrt(n2)))
 
     @property
     def field_shape(self):
         t, z, y, x = self.geom.lattice
-        return (self.A.shape[0], t, z, y * x)
+        return (self.dof, t, z, y * x)
 
     @property
     def cop(self) -> CoarseOperator:
         """Logical-layout view (Galerkin input for the next coarsening)."""
-        return CoarseOperator(self._blk_from_soa(self.A),
-                              self._blk_from_soa(self.Df, lead=1),
-                              self._blk_from_soa(self.Db, lead=1))
+        from . import pallas_coarse as pc
+        Bs = pc.unpack_blocks(self.Pk, self.geom.lattice, self.layout)
+        return CoarseOperator(Bs[0], Bs[1:5], Bs[5:9])
 
-    def _blk_from_soa(self, a, lead=0):
+    @property
+    def A(self):
+        """Self-coupling in the dof-major view [d, d, T, Z, M]
+        (diagnostics/tests; not on the apply path)."""
+        from . import pallas_coarse as pc
         t, z, y, x = self.geom.lattice
-        d = a.shape[lead]
-        lead_shape = a.shape[:lead]
-        a = a.reshape(*lead_shape, d, d, t, z, y, x)
-        nd = (a.re.ndim if cplx.is_split(a) else a.ndim)
-        perm = tuple(range(lead)) + tuple(range(lead + 2, nd)) + (lead, lead + 1)
-        return _transpose_any(a, perm)
+        a = pc.unpack_blocks(self.Pk[0:1], self.geom.lattice, self.layout)[0]
+        perm = (4, 5, 0, 1, 2, 3)
+        out = _transpose_any(a, perm)
+        d = self.dof
+        return out.reshape(d, d, t, z, y * x)
+
+    def relayout(self, layout: str) -> "CoarseStencilSoA":
+        """Repack the block storage into another packed layout (cheap
+        transposes; used when attaching a z-sharding mesh)."""
+        if layout == self.layout:
+            return self
+        from . import pallas_coarse as pc
+        lat = self.geom.lattice
+        return dataclasses.replace(
+            self,
+            Pk=pc.pack_blocks(pc.unpack_blocks(self.Pk, lat, self.layout),
+                              layout),
+            Pk_inv=pc.pack_blocks(
+                pc.unpack_blocks(self.Pk_inv, lat, self.layout), layout),
+            layout=layout)
 
     def compress(self, rdtype=jnp.bfloat16) -> "CoarseStencilSoA":
         """Store the stencil blocks (not the fields) in a narrower real dtype.
 
         TPU rationale: coarse-level applies are HBM-bound on the 9 d x d
         block reads per site (the fields are ~d x smaller); bf16 block
-        storage halves that traffic (measured 1.8x per apply at 8^4 d=32).
-        The entire coarse hierarchy is inside the flexible outer solver's
-        preconditioner, so the ~4e-3 relative block perturbation only has
-        to leave the SAP/K-cycle/coarsest tolerances (1e-1 / 5e-2) intact.
-        _mv widens blocks back to the field dtype at apply time, so XLA
-        keeps f32 accumulation and fuses the widening into the multiply.
+        storage halves that traffic.  The entire coarse hierarchy is inside
+        the flexible outer solver's preconditioner, so the ~4e-3 relative
+        block perturbation only has to leave the SAP/K-cycle/coarsest
+        tolerances (1e-1 / 5e-2) intact.  The Pallas kernel (and the XLA
+        fallback) widens blocks back to f32 at multiply time, keeping f32
+        accumulation.
         """
-        if not cplx.is_split(self.A):
+        if not cplx.is_split(self.Pk):
             raise NotImplementedError("compress() requires the split"
                                       " representation (TPU path)")
         return dataclasses.replace(
             self,
-            A=self.A.astype_real(rdtype),
-            Df=self.Df.astype_real(rdtype),
-            Db=self.Db.astype_real(rdtype),
-            Df_intra=self.Df_intra.astype_real(rdtype),
-            Db_intra=self.Db_intra.astype_real(rdtype),
-            A_inv=self.A_inv.astype_real(rdtype))
+            Pk=self.Pk.astype_real(rdtype),
+            Pk_inv=self.Pk_inv.astype_real(rdtype))
 
     def _roll(self):
         return _cached_rollers(self.geom.lattice,
                                str(self.even.dtype))
 
-    def _mv(self, blk, v):
-        if cplx.is_split(blk) and blk.re.dtype != v.re.dtype:
-            blk = blk.astype_real(v.re.dtype)
-        return cplx.einsum("ij...,j...->i...", blk, v)
+    def _stack_shifts(self, v, masked: bool, include_self: bool):
+        """The (self +) 8 neighbor fields stacked [k, d, T, Z, M]; `masked`
+        multiplies the per-direction intra-block masks into the shifted
+        fields (the Schwarz restriction -- block-crossing couplings read
+        wrong wrapped data that the zero mask kills)."""
+        roll = self._roll()
+        vs = [v] if include_self else []
+        for mu in range(4):
+            w = roll(v, -1, mu)
+            vs.append(self.fwd_m[mu] * w if masked else w)
+        for mu in range(4):
+            w = roll(v, 1, mu)
+            vs.append(self.bwd_m[mu] * w if masked else w)
+        return cplx.stack(vs, axis=0)
+
+    def _apply(self, Pk, vs):
+        from . import pallas_coarse as pc
+        return pc.apply_packed(Pk, vs, self.geom.lattice, self.layout,
+                               self.use_pallas,
+                               interpret=_interp() if self.use_pallas else None)
 
     def hop(self, v):
         if self.mesh is not None:
             from ..parallel.shard_ops import coarse_sharded
             return coarse_sharded(self, v, "hop")
-        roll = self._roll()
-        out = None
-        for mu in range(4):
-            t = self._mv(self.Df[mu], roll(v, -1, mu))
-            t = t + self._mv(self.Db[mu], roll(v, 1, mu))
-            out = t if out is None else out + t
-        return out
+        return self._apply(self.Pk[1:], self._stack_shifts(v, False, False))
 
     def full_op(self, v):
         if self.mesh is not None:
             from ..parallel.shard_ops import coarse_sharded
             return coarse_sharded(self, v, "full")
-        return self._mv(self.A, v) + self.hop(v)
+        return self._apply(self.Pk, self._stack_shifts(v, False, True))
 
     def block_op(self, v):
         if self.mesh is not None:
             from ..parallel.shard_ops import coarse_sharded
             return coarse_sharded(self, v, "block")
-        return self._mv(self.A, v) + self.hop_intra(v)
+        return self._apply(self.Pk, self._stack_shifts(v, True, True))
 
     def self_op(self, v):
         if self.mesh is not None:
             from ..parallel.shard_ops import coarse_sharded
             return coarse_sharded(self, v, "self")
-        return self._mv(self.A, v)
+        return self._apply(self.Pk[0:1], cplx.stack([v], axis=0))
 
     def self_inv(self, v, mask):
         if self.mesh is not None:
             from ..parallel.shard_ops import coarse_sharded
             return coarse_sharded(self, v, "self_inv", mask=mask)
-        return self._mv(self.A_inv, mask * v)
+        return self._apply(self.Pk_inv, cplx.stack([mask * v], axis=0))
 
     def hop_intra(self, v):
         if self.mesh is not None:
             from ..parallel.shard_ops import coarse_sharded
             return coarse_sharded(self, v, "hop_intra")
-        roll = self._roll()
-        out = None
-        for mu in range(4):
-            t = self._mv(self.Df_intra[mu], roll(v, -1, mu))
-            t = t + self._mv(self.Db_intra[mu], roll(v, 1, mu))
-            out = t if out is None else out + t
-        return out
+        return self._apply(self.Pk[1:], self._stack_shifts(v, True, False))
 
     # --- layout hooks ---
 
@@ -416,6 +445,11 @@ def _transpose_any(a, axes):
     return jnp.transpose(a, axes)
 
 
+def _stencil_split(s) -> bool:
+    """Whether a stencil stores split-complex (CArray) operands."""
+    return cplx.is_split(s.Pk if isinstance(s, CoarseStencilSoA) else s.A)
+
+
 def _add_diag(a, delta, diag_axes):
     """a + delta * I on the two (equal-length) axes `diag_axes` of a
     (possibly split) block tensor; delta is a traced real scalar."""
@@ -450,14 +484,23 @@ def shift_stencil(s, delta):
         A = _add_diag(s.A, delta, (-2, -1))
         return dataclasses.replace(s, A=A, A_inv=cplx.inv(A))
     if isinstance(s, CoarseStencilSoA):
-        A = _add_diag(s.A, delta, (0, 1))
-        nd = A.re.ndim if cplx.is_split(A) else A.ndim
-        to_blk = list(range(2, nd)) + [0, 1]
-        A_l = _transpose_any(A, to_blk)
-        inv_l = cplx.inv(A_l)
-        from_blk = [nd - 2, nd - 1] + list(range(nd - 2))
-        return dataclasses.replace(s, A=A,
-                                   A_inv=_transpose_any(inv_l, from_blk))
+        from . import pallas_coarse as pc
+        d = s.dof
+        # packed d*d axis is j-major (row j*d + i): the diagonal i == j sits
+        # at indices j*(d+1)
+        eye_flat = np.zeros((d * d,), np.float64)
+        eye_flat[np.arange(d) * (d + 1)] = 1.0
+        shape = (1, d * d, 1) if s.layout == "t" else (1, 1, d * d, 1)
+        split = cplx.is_split(s.Pk)
+        rdt = s.Pk.re.dtype if split else np.zeros((), s.Pk.dtype).real.dtype
+        eye = jnp.asarray(eye_flat.reshape(shape), rdt)
+        if split:
+            Pk = cplx.CArray(s.Pk.re.at[0].add(delta * eye), s.Pk.im)
+        else:
+            Pk = s.Pk.at[0].add((delta * eye).astype(s.Pk.dtype))
+        A_log = pc.unpack_blocks(Pk[0:1], s.geom.lattice, s.layout)
+        Pk_inv = pc.pack_blocks(cplx.inv(A_log[0])[None], s.layout)
+        return dataclasses.replace(s, Pk=Pk, Pk_inv=Pk_inv)
     if isinstance(s, WilsonStencilSoA):
         from . import fast, pallas_dslash
         clov = _add_diag(s.clover, delta, (1, 2))
@@ -496,7 +539,7 @@ def dense_inverse(s, rdtype=None, chunk=256):
     """
     shape = s.field_shape
     n = int(np.prod(shape))
-    split = cplx.is_split(s.A)
+    split = _stencil_split(s)
     rdt = s.even.dtype
 
     def col(j):
@@ -545,7 +588,7 @@ def dense_schur_inverse(s, idx, rdtype=None, chunk=256):
     to the direct solver.  idx = schur_even_indices(s)."""
     shape = s.field_shape
     n = int(np.prod(shape))
-    split = cplx.is_split(s.A)
+    split = _stencil_split(s)
     rdt = s.even.dtype
 
     def schur(v):

@@ -120,6 +120,17 @@ def soa_spec(mesh: Mesh, lattice, lead: int = 0) -> P:
     return P(*([None] * lead + names + [None]))
 
 
+def packed_block_spec(mesh: Mesh, lattice, layout: str) -> P:
+    """PartitionSpec for packed coarse block tensors
+    (operators/pallas_coarse.py): "t" [9, T, d*d, ZM] shards T only;
+    "tz" [9, T, Z, d*d, M] shards T and Z."""
+    names = [ax if lattice[mu] % mesh.shape[ax] == 0 and mesh.shape[ax] > 1
+             else None for mu, ax in enumerate(AXES[:2])]
+    if layout == "t":
+        return P(None, names[0], None, None)
+    return P(None, names[0], names[1], None, None)
+
+
 def shard_stencil(mesh: Mesh, s):
     """Shard a level stencil's fields over the mesh (4D domain
     decomposition).  Returns a stencil of the same type.  For coarse levels
@@ -153,14 +164,17 @@ def shard_stencil(mesh: Mesh, s):
             raise ValueError(
                 "SoA coarse layout fuses Y*X; use coarse_layout='logical' "
                 f"for meshes with y/x extents > 1 (mesh {dict(mesh.shape)})")
+        # an actively z-sharded mesh needs Z as an unfused packed axis
+        z_active = mesh.shape["z"] > 1 and lat[1] % mesh.shape["z"] == 0
+        if z_active and s.layout != "tz":
+            s = s.relayout("tz")
+        pk_spec = packed_block_spec(mesh, lat, s.layout)
         return dataclasses.replace(
             s,
-            A=put(s.A, soa_spec(mesh, lat, lead=2)),
-            Df=put(s.Df, soa_spec(mesh, lat, lead=3)),
-            Db=put(s.Db, soa_spec(mesh, lat, lead=3)),
-            Df_intra=put(s.Df_intra, soa_spec(mesh, lat, lead=3)),
-            Db_intra=put(s.Db_intra, soa_spec(mesh, lat, lead=3)),
-            A_inv=put(s.A_inv, soa_spec(mesh, lat, lead=2)),
+            Pk=put(s.Pk, pk_spec),
+            Pk_inv=put(s.Pk_inv, pk_spec),
+            fwd_m=put(s.fwd_m, soa_spec(mesh, lat, lead=1)),
+            bwd_m=put(s.bwd_m, soa_spec(mesh, lat, lead=1)),
             even=put(s.even, soa_spec(mesh, lat)),
             odd=put(s.odd, soa_spec(mesh, lat)),
             mesh=_soa_mesh(s),

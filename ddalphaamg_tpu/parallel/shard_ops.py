@@ -86,14 +86,18 @@ def _spec_tree(s, mesh):
     """Same-type dataclass whose data fields are PartitionSpecs -- a pytree
     prefix for shard_map in_specs (each spec covers the CArray planes
     beneath it)."""
+    from .mesh import packed_block_spec
     lat = s.geom.lattice
     specs = {}
     for f in dataclasses.fields(s):
         v = getattr(s, f.name)
-        if f.name in ("geom", "use_pallas", "mesh") or v is None:
+        if f.name in ("geom", "use_pallas", "mesh", "layout") or v is None:
             continue
-        nd = v.re.ndim if cplx.is_split(v) else v.ndim
-        specs[f.name] = soa_spec(mesh, lat, lead=nd - 3)
+        if f.name in ("Pk", "Pk_inv"):
+            specs[f.name] = packed_block_spec(mesh, lat, s.layout)
+        else:
+            nd = v.re.ndim if cplx.is_split(v) else v.ndim
+            specs[f.name] = soa_spec(mesh, lat, lead=nd - 3)
     return dataclasses.replace(s, **specs)
 
 
@@ -198,12 +202,15 @@ def coarse_sharded(s, v, which, mask=None):
         def local_fn(sl, vl):
             sl = _localize(sl, lat_local)
             roll = sl._roll()
-            out = sl._mv(sl.A, vl) if which == "full" else None
+            vs = [vl] if which == "full" else []
             for mu in range(4):
-                t = sl._mv(sl.Df[mu], _shift(vl, -1, mu, mesh_shape, roll))
-                t = t + sl._mv(sl.Db[mu], _shift(vl, 1, mu, mesh_shape, roll))
-                out = t if out is None else out + t
-            return out
+                vs.append(_shift(vl, -1, mu, mesh_shape, roll))
+            for mu in range(4):
+                vs.append(_shift(vl, 1, mu, mesh_shape, roll))
+            Pk = sl.Pk if which == "full" else sl.Pk[1:]
+            # local fused packed apply on ppermute-fetched neighbor fields
+            # (the coarse hopping exchange, coarse_oddeven_generic.c:447-583)
+            return sl._apply(Pk, cplx.stack(vs, axis=0))
         return _smap(local_fn, mesh, (spec_s, vspec), vspec)(s, v)
 
     if which == "self_inv":

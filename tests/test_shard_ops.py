@@ -132,3 +132,45 @@ def test_coarse_sharded_hlo_no_allgather(coarse_pair):
         s_sh, v_sh).compile().as_text()
     assert "collective-permute" in txt
     assert "all-gather" not in txt
+
+
+def test_coarse_sharded_relayout_tz(coarse_pair):
+    """A z-sharding mesh repacks the blocks to the "tz" layout at shard
+    time and still matches the single-device result."""
+    s, _, v, _ = coarse_pair
+    assert s.layout == "t"
+    lat = s.geom.lattice
+    mesh = parallel.make_solver_mesh(n_devices=4, dims=(2, 2, 1, 1))
+    s_sh = parallel.shard_stencil(mesh, s)
+    assert s_sh.layout == "tz" and s_sh.mesh is not None
+    v_sh = parallel.shard_field(mesh, v, lat, soa=True)
+    for opname in ("full_op", "block_op"):
+        want = cplx.to_numpy(jax.jit(getattr(s, opname))(v))
+        got = cplx.to_numpy(jax.jit(getattr(s_sh, opname))(v_sh))
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_coarse_sharded_pallas_interpret_parity():
+    """use_pallas=True under shard_map for the COARSE packed kernel (the
+    production multi-chip TPU config), interpret mode on the CPU mesh."""
+    d = 8
+    lat = (4, 4, 2, 2)
+    rng = np.random.default_rng(11)
+    A = _rand_c(rng, *lat, d, d)
+    A = cplx.CArray(A.re + 5 * jnp.asarray(
+        np.broadcast_to(np.eye(d, dtype=np.float32), (*lat, d, d))), A.im)
+    cop = CoarseOperator(A, _rand_c(rng, 4, *lat, d, d),
+                         _rand_c(rng, 4, *lat, d, d))
+    geom = Geometry(lattice=lat, block=(2, 2, 2, 2), dof=d)
+    s = CoarseStencilSoA.build(cop, geom, use_pallas=True)
+    v = _rand_c(rng, d, lat[0], lat[1], lat[2] * lat[3])
+    want_full = cplx.to_numpy(jax.jit(s.full_op)(v))
+    want_blk = cplx.to_numpy(jax.jit(s.block_op)(v))
+    mesh = parallel.make_solver_mesh(n_devices=4, dims=(2, 2, 1, 1))
+    s_sh = parallel.shard_stencil(mesh, s)
+    assert s_sh.use_pallas and s_sh.mesh is not None and s_sh.layout == "tz"
+    v_sh = parallel.shard_field(mesh, v, lat, soa=True)
+    got_full = cplx.to_numpy(jax.jit(s_sh.full_op)(v_sh))
+    got_blk = cplx.to_numpy(jax.jit(s_sh.block_op)(v_sh))
+    np.testing.assert_allclose(got_full, want_full, atol=3e-5)
+    np.testing.assert_allclose(got_blk, want_blk, atol=3e-5)
