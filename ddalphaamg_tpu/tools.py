@@ -54,6 +54,18 @@ def make_unit_conf(path: str, lattice) -> float:
     return 3.0
 
 
+def _mix_to_unit(U: np.ndarray, epsilon: float) -> np.ndarray:
+    """SU(3)-project eye + epsilon * (U - eye): a hot/cold interpolation
+    between the unit config (epsilon=0) and Haar-random (epsilon=1)."""
+    eye = np.eye(3, dtype=np.complex128)
+    A = eye + epsilon * (U - eye)
+    q, r = np.linalg.qr(A)
+    d = np.diagonal(r, axis1=-2, axis2=-1)
+    q = q * np.conj(d / np.abs(d))[..., None, :]
+    det = np.linalg.det(q)
+    return q * np.conj(det ** (1.0 / 3.0))[..., None, None]
+
+
 def make_random_conf(path: str, lattice, seed: int = 0,
                      epsilon: float = 1.0) -> float:
     """Random config; epsilon < 1 interpolates toward the unit config
@@ -61,11 +73,53 @@ def make_random_conf(path: str, lattice, seed: int = 0,
     rng = np.random.default_rng(seed)
     U = random_su3(rng, (4, *lattice))
     if epsilon < 1.0:
-        eye = np.eye(3, dtype=np.complex128)
-        A = eye + epsilon * (U - eye)
-        q, r = np.linalg.qr(A)
-        d = np.diagonal(r, axis1=-2, axis2=-1)
-        U = q * (d / np.abs(d))[..., None, :]
+        U = _mix_to_unit(U, epsilon)
+    plaq = _plaquette(U)
+    dio.write_gauge_field(path, U, plaquette=plaq, anti_periodic=False)
+    return plaq
+
+
+def rough_su3(lattice, seed: int = 0, target_plaq: float = 1.7867,
+              tol: float = 5e-3) -> np.ndarray:
+    """Random SU(3) field with the average plaquette tuned (by bisection on
+    the hot/cold mixing parameter) to `target_plaq` in [0, 3] -- default
+    matches the bundled beta = 6.0 reference configurations (computed
+    plaquette 1.7866 on both 4^4 and 8^4, conf/4x4x4x4b6.0000id3n1), so
+    benchmark solves face reference-roughness gauge disorder instead of a
+    flattering near-free field.  Deterministic in (lattice, seed)."""
+    # tune the mixing parameter on a cheap 8^4 proxy field (the plaquette
+    # vs epsilon curve is statistically lattice-size independent), then
+    # refine with a couple of bisection steps on the target lattice
+    proxy_lat = tuple(min(8, e) for e in lattice)
+    Up = random_su3(np.random.default_rng(seed + 1), (4, *proxy_lat))
+    lo, hi = 0.0, 1.0
+    eps = 0.5
+    for _ in range(18):
+        eps = 0.5 * (lo + hi)
+        plaq = _plaquette(_mix_to_unit(Up, eps))
+        if plaq > target_plaq:
+            lo = eps
+        else:
+            hi = eps
+    rng = np.random.default_rng(seed)
+    U = random_su3(rng, (4, *lattice))
+    lo, hi = max(0.0, eps - 0.05), min(1.0, eps + 0.05)
+    for _ in range(6):
+        eps = 0.5 * (lo + hi)
+        plaq = _plaquette(_mix_to_unit(U, eps))
+        if abs(plaq - target_plaq) < tol:
+            break
+        if plaq > target_plaq:
+            lo = eps
+        else:
+            hi = eps
+    return _mix_to_unit(U, eps)
+
+
+def make_rough_conf(path: str, lattice, seed: int = 0,
+                    target_plaq: float = 1.7867) -> float:
+    """Write a plaquette-targeted rough config (see rough_su3)."""
+    U = rough_su3(lattice, seed=seed, target_plaq=target_plaq)
     plaq = _plaquette(U)
     dio.write_gauge_field(path, U, plaquette=plaq, anti_periodic=False)
     return plaq

@@ -18,9 +18,9 @@ def main():
         "PROBE_LAT", "16,16,16,16").split(","))
     tv = int(os.environ.get("PROBE_TV", "16"))
     si = int(os.environ.get("PROBE_SETUP", "3"))
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from ddalphaamg_tpu import api, config
     from ddalphaamg_tpu.profiling import PROF
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from bench import smooth_su3
 
     p = config.SolverParams(num_levels=3, tol=1e-10,

@@ -131,3 +131,18 @@ interpolation: 2
     assert info2.converged
     # identical test vectors -> identical hierarchy -> same iteration count
     assert info2.iterations == info1.iterations
+
+
+def test_rough_conf_targets_reference_plaquette(tmp_path):
+    """rough_su3 tunes the average plaquette to the beta=6.0 reference
+    configs' value (1.7866 in [0,3]) so benchmark gauge disorder is
+    reference-roughness, not a flattering near-free field."""
+    rp = str(tmp_path / "rough")
+    plaq = tools.make_rough_conf(rp, (8, 8, 8, 8), seed=1)
+    assert abs(plaq - 1.7867) < 0.02, plaq
+    U, plaq2 = dio.read_gauge_field(rp, anti_periodic=False)
+    assert abs(plaq2 - plaq) < 1e-12
+    eye = np.einsum("...ab,...cb->...ac", U, np.conj(U))
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.linalg.det(U), 1.0, atol=1e-12)
