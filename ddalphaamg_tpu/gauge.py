@@ -61,12 +61,36 @@ def plaquette_field(U: jnp.ndarray, mu: int, nu: int) -> jnp.ndarray:
 
 @jax.jit
 def average_plaquette(U) -> jnp.ndarray:
-    """Average plaquette normalized to [0, 3] (reference convention)."""
+    """Average plaquette normalized to [0, 3] (reference convention).
+
+    TPU note: computed in a dof-major relayout [mu, 3, 3, T, Z, Y, X] so
+    each 3x3 link product is 27 full-lane VPU multiply-adds over the
+    lattice instead of 65k MXU matmuls padded 3 -> 128 (site-major was
+    measured at 220 s for one 16^4 evaluation on the chip; dof-major is
+    milliseconds)."""
+    def tocm(a):        # [..., T,Z,Y,X, 3, 3] -> [..., 3, 3, T,Z,Y,X]
+        nd = a.ndim
+        return jnp.transpose(a, tuple(range(nd - 6)) + (nd - 2, nd - 1)
+                             + tuple(range(nd - 6, nd - 2)))
+
+    Ud = cplx.CArray(tocm(U.re), tocm(U.im)) if cplx.is_split(U) else tocm(U)
+
+    def dagm(a):
+        if cplx.is_split(a):
+            return cplx.CArray(jnp.swapaxes(a.re, 0, 1),
+                               -jnp.swapaxes(a.im, 0, 1))
+        return jnp.conj(jnp.swapaxes(a, 0, 1))
+
+    def mm(a, b):
+        return cplx.einsum("ij...,jk...->ik...", a, b)
+
     total = 0.0
     for mu in range(4):
         for nu in range(mu + 1, 4):
-            p = plaquette_field(U, mu, nu)
-            total = total + jnp.einsum("...ii->...", cplx.real(p)).sum()
+            Umu, Unu = Ud[mu], Ud[nu]
+            p = mm(mm(Umu, cplx.roll(Unu, -1, 2 + mu)),
+                   mm(dagm(cplx.roll(Umu, -1, 2 + nu)), dagm(Unu)))
+            total = total + jnp.einsum("ii...->...", cplx.real(p)).sum()
     vol = np.prod(U.shape[1:5])
     return total / (6.0 * vol)
 
