@@ -163,13 +163,11 @@ def smooth_su3(lattice, seed=0, eps=0.25):
     return q * np.conj(det ** (1.0 / 3.0))[..., None, None]
 
 
-def bench_mg_solve():
-    """Production end-to-end solve: setup + solve to 1e-10 on SOLVE_LAT."""
-    from ddalphaamg_tpu import api, config
-
+def _solver_params(rhs_kind: str):
+    from ddalphaamg_tpu import config
     p = config.SolverParams(num_levels=3, tol=SOLVE_TOL,
                             restart_length=50, max_restarts=20,
-                            right_hand_side="random", seed=5)
+                            right_hand_side=rhs_kind, seed=5)
     p.depth = [config.DepthParams(global_lattice=SOLVE_LAT,
                                   block_lattice=(2, 2, 2, 2),
                                   test_vectors=16, setup_iter=3,
@@ -179,26 +177,74 @@ def bench_mg_solve():
                    block_lattice=(2, 2, 2, 2),
                    test_vectors=16, setup_iter=3,
                    post_smooth_iter=2, block_iter=4)]
+    return p
+
+
+ROUGH_CONF = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "bench_assets", "rough16.cnfg")
+ROUGH_REF_JSON = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "bench_assets", "rough16_ref.json")
+
+
+def _rough_gauge():
+    """Reference-roughness gauge field for SOLVE_LAT: the committed
+    plaquette-targeted config (the exact field the reference binary was
+    benchmarked on -> same-problem comparison) when the lattice matches,
+    else generated on the fly (deterministic in lattice/seed)."""
+    from ddalphaamg_tpu import io as dio
+    from ddalphaamg_tpu import tools
+    if SOLVE_LAT == (16, 16, 16, 16) and os.path.exists(ROUGH_CONF):
+        U, plaq = dio.read_gauge_field(ROUGH_CONF, anti_periodic=True)
+        return U, plaq
+    U = tools.rough_su3(SOLVE_LAT, seed=0).copy()
+    U[0, -1] *= -1.0  # anti-periodic in time, like the reference run
+    return U, None
+
+
+def bench_mg_solve(kind: str = "smooth"):
+    """Production end-to-end solve: setup + solve to 1e-10 on SOLVE_LAT.
+
+    kind="smooth": near-free synthetic field (the flattering problem; kept
+    for round-over-round continuity -> mg_vs_ref_scaled).
+    kind="rough": plaquette-matched beta=6.0-roughness config; compared
+    like-for-like against the reference binary's recorded run on the SAME
+    config/lattice (bench_assets/rough16_ref.json -> mg_vs_ref_same_problem).
+    """
+    from ddalphaamg_tpu import api, config
+    from ddalphaamg_tpu.profiling import compile_time_tracker
+
+    rhs_kind = "ones" if kind == "rough" else "random"
+    p = _solver_params(rhs_kind)
     solver = api.Solver(p)
-    U = smooth_su3(SOLVE_LAT, seed=0)
+    if kind == "rough":
+        U, _plaq = _rough_gauge()
+    else:
+        U = smooth_su3(SOLVE_LAT, seed=0)
     solver.set_conf(U, links_have_bc=True)
 
     t0 = time.perf_counter()
-    solver.setup()
+    with compile_time_tracker() as comp:
+        solver.setup()
     setup_s = time.perf_counter() - t0
 
-    rhs = config.make_rhs("random", SOLVE_LAT, seed=5)
-    x, info = solver.solve(rhs)           # cold (includes outer compiles)
+    rhs = config.make_rhs(rhs_kind, SOLVE_LAT, seed=5)
+    with compile_time_tracker() as solve_comp:
+        x, info = solver.solve(rhs)       # cold (includes outer compiles)
     cold_s = info.solve_time
     x, info = solver.solve(rhs)           # warm
     exact = solver.true_residual(x, rhs)
-    print(f"# mg_solve: setup {setup_s:.1f}s cold {cold_s:.1f}s warm "
+    print(f"# mg_solve[{kind}]: setup {setup_s:.1f}s "
+          f"(compile {comp['compile_s']:.1f}s) cold {cold_s:.1f}s warm "
           f"{info.solve_time:.2f}s iters {info.iterations} "
           f"exact relres {exact:.2e}", file=sys.stderr)
 
     # coarse-time fraction estimate: whole traced cycle vs depth-0 pieces
+    # (headline problem only -- the timings are gauge-independent)
     coarse_frac = None
+    extra_times = {}
     try:
+        if kind != "rough":
+            raise RuntimeError("skipped (rough run reports cycle timings)")
         import jax as _jax
         from ddalphaamg_tpu.smoothers.sap import sap_smooth_from
         from ddalphaamg_tpu.utils import device_put_complex
@@ -241,14 +287,13 @@ def bench_mg_solve():
         extra_times = {}
         print(f"# coarse-fraction estimate failed: {e}", file=sys.stderr)
 
-    sites = int(np.prod(SOLVE_LAT))
-    ref_sites = 8 ** 4
-    ref_solve_s = 6.43  # reference 8^4 3-level, 1 CPU core (ground truth log)
-    scaled_ref = ref_solve_s * sites / ref_sites
     out = {
         "mg_solve_seconds": round(info.solve_time, 3),
         "mg_solve_cold_seconds": round(cold_s, 3),
         "mg_setup_seconds": round(setup_s, 1),
+        "mg_setup_compile_seconds": round(comp["compile_s"], 1),
+        "mg_setup_run_seconds": round(max(setup_s - comp["compile_s"], 0.0), 1),
+        "mg_solve_cold_compile_seconds": round(solve_comp["compile_s"], 1),
         "mg_iterations": info.iterations,
         "mg_coarse_average": round(info.coarse_average, 2),
         "mg_exact_relres": float(f"{exact:.3e}"),
@@ -256,21 +301,45 @@ def bench_mg_solve():
         "mg_lattice": list(SOLVE_LAT),
         "mg_levels": p.num_levels,
         "mg_memory_mb": round(info.memory_mb, 1),
-        "ref_scaled_solve_seconds": round(scaled_ref, 1),
-        "mg_vs_ref_scaled": round(scaled_ref / max(info.solve_time, 1e-9), 2),
     }
+    sites = int(np.prod(SOLVE_LAT))
+    if kind == "smooth":
+        ref_sites = 8 ** 4
+        ref_solve_s = 6.43  # reference 8^4 3-level, 1 CPU core (ground truth)
+        scaled_ref = ref_solve_s * sites / ref_sites
+        out["ref_scaled_solve_seconds"] = round(scaled_ref, 1)
+        out["mg_vs_ref_scaled"] = round(
+            scaled_ref / max(info.solve_time, 1e-9), 2)
+    else:
+        # like-for-like: the reference binary's recorded run on the SAME
+        # rough config + lattice + rhs, one CPU core on this machine
+        # (bench_assets/rough16_ref.{log,json}, scripts/refbench)
+        try:
+            with open(ROUGH_REF_JSON) as f:
+                ref = json.load(f)
+            if tuple(ref.get("lattice", ())) == SOLVE_LAT:
+                out["ref_same_problem_solve_seconds"] = ref["solve_seconds"]
+                out["ref_same_problem_setup_seconds"] = ref.get("setup_seconds")
+                out["ref_same_problem_iterations"] = ref.get("iterations")
+                out["mg_vs_ref_same_problem"] = round(
+                    ref["solve_seconds"] / max(info.solve_time, 1e-9), 2)
+        except Exception as e:
+            print(f"# same-problem reference record unavailable: {e}",
+                  file=sys.stderr)
     if coarse_frac is not None:
         out["mg_coarse_time_fraction"] = round(coarse_frac, 3)
     out.update(extra_times)
 
-    # optional batched multi-RHS throughput (DDAAMG_BENCH_MULTI=B): the
-    # vmapped device-restart path amortizes dispatch and batches every
-    # cycle matmul; reports per-RHS seconds vs the single-RHS warm solve
-    nb = int(os.environ.get("DDAAMG_BENCH_MULTI", "0"))
+    # batched multi-RHS throughput (DDAAMG_BENCH_MULTI=B, default 12, 0
+    # disables): the vmapped device-restart path amortizes dispatch and
+    # batches every cycle matmul; reports per-RHS seconds vs the
+    # single-RHS warm solve.  Run once, on the rough (headline) problem.
+    nb = int(os.environ.get("DDAAMG_BENCH_MULTI",
+                            "12" if kind == "rough" else "0"))
     if nb == 1:
         print("# DDAAMG_BENCH_MULTI must be >= 2 (got 1); skipping multi-RHS",
               file=sys.stderr)
-    if nb > 1:
+    if nb > 1 and kind == "rough":
         try:
             rng = np.random.default_rng(9)
             bs = np.stack([rng.normal(size=(*SOLVE_LAT, 4, 3))
@@ -325,12 +394,27 @@ def main():
         "target_gflops": round(d["target_gflops"], 1),
     }
     if not os.environ.get("DDAAMG_BENCH_DSLASH_ONLY"):
+        # headline problem: reference-roughness config, compared
+        # like-for-like against the reference binary on the same problem
         try:
-            detail.update(bench_mg_solve())
+            detail.update(bench_mg_solve("rough"))
         except Exception as e:
             import traceback
             traceback.print_exc(file=sys.stderr)
             detail["mg_solve_error"] = repr(e)[:200]
+        # continuity problem: the smooth field r01/r02 benchmarked
+        # (skippable: DDAAMG_BENCH_SKIP_SMOOTH=1)
+        if not os.environ.get("DDAAMG_BENCH_SKIP_SMOOTH"):
+            try:
+                sm = bench_mg_solve("smooth")
+                keep = {"ref_scaled_solve_seconds", "mg_vs_ref_scaled"}
+                detail.update({
+                    k if k in keep else f"smooth_{k.removeprefix('mg_')}": v
+                    for k, v in sm.items()})
+            except Exception as e:
+                import traceback
+                traceback.print_exc(file=sys.stderr)
+                detail["mg_smooth_solve_error"] = repr(e)[:200]
 
     out = {
         "metric": "dslash_gflops",

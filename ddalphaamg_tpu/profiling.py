@@ -204,6 +204,43 @@ def profile_hierarchy(mg, reps: int = 5, seed: int = 0) -> Profiler:
     return prof
 
 
+@contextmanager
+def compile_time_tracker():
+    """Accumulate XLA trace/lower/compile seconds inside the block.
+
+    The reference splits setup cost into phases (src/init_generic.c:84-96);
+    on TPU the dominant cold-setup cost is XLA compilation, which a
+    persistent compile cache removes on later runs.  This tracker makes
+    that split visible: it listens to jax's monitoring events
+    (/jax/core/compile/{jaxpr_trace,jaxpr_to_mlir_module,backend_compile}
+    _duration) and yields a dict updated in place with
+      {"compile_s": total trace+lower+backend seconds,
+       "backend_compile_s": backend-only seconds (what the persistent
+        cache eliminates)}.
+    """
+    totals = {"compile_s": 0.0, "backend_compile_s": 0.0}
+    try:
+        from jax._src import monitoring
+    except Exception:  # pragma: no cover - internal API moved
+        yield totals
+        return
+
+    def _listener(key, dur_s, **kw):
+        if "/jax/core/compile/" in key and key.endswith("_duration"):
+            totals["compile_s"] += dur_s
+            if "backend_compile" in key:
+                totals["backend_compile_s"] += dur_s
+
+    monitoring.register_event_duration_secs_listener(_listener)
+    try:
+        yield totals
+    finally:
+        try:
+            monitoring.unregister_event_duration_listener(_listener)
+        except Exception:  # pragma: no cover
+            pass
+
+
 def hbm_highwater_mb() -> float:
     """Device-memory high-water mark in MiB (reference memory accounting:
     MALLOC macros tracking g.max_storage, src/main.h:88-140, printed in the

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import cplx
-from ..utils import device_get_complex, device_put_complex
+from ..utils import device_get_complex, device_put_complex, host_float
 
 
 @dataclass
@@ -60,12 +60,33 @@ def _orthogonalize(V, w):
 
 
 @jax.jit
+def _orthogonalize_fused(V, w):
+    """Single-reduction Arnoldi step (reference SINGLE_ALLREDUCE_ARNOLDI,
+    src/linsolve_generic.c:668-738): compute h = V^H w and ||w||^2 in the
+    SAME fused program -- one device dispatch / one sharded psum instead of
+    two -- and let the host derive the post-orthogonalization norm by
+    Pythagoras, ||w - V h||^2 = ||w||^2 - sum |h_i|^2 (exact for an
+    orthonormal basis).  Returns (w_orth, h, ||w||^2).
+
+    Opt-in (like the reference's compile flag): in f32 working precision
+    the derived norm carries ~sqrt(m)*eps_32 relative error, which
+    mis-normalizes V[j+1] and compounds classical-Gram-Schmidt
+    orthogonality loss -- measured on the 4^4 method-4 solve it stagnates
+    the convergence (20 -> 55 iterations).  Use where the basis is f64 or
+    tolerances are loose; production TPU solves use the device-restart GCR
+    which has no per-step host reduction at all."""
+    h = cplx.einsum("in,n->i", cplx.conj(V), w)
+    n2 = cplx.norm2(w)
+    w = w - cplx.einsum("i,in->n", h, V)
+    return w, h, n2
+
+
+@jax.jit
 def _norm2(w):
     return cplx.norm2(w)
 
 
 def _norm(w) -> float:
-    from ..utils import host_float
     return float(np.sqrt(host_float(_norm2(w))))
 
 
@@ -86,6 +107,7 @@ def fgmres(
     reorthogonalize: bool = False,
     print_residuals: bool = False,
     restest: bool = False,
+    single_reduce: bool = False,
 ) -> FGMRESResult:
     """Solve apply_op(x) = b to relative residual `tol`.
 
@@ -168,12 +190,27 @@ def fgmres(
             else:
                 w = op_flat(vj)
 
-            w, h = _orthogonalize(V, w)
-            h_host = device_get_complex(h).astype(np.complex128)
-            if reorthogonalize:
-                w, h2 = _orthogonalize(V, w)
-                h_host = h_host + device_get_complex(h2).astype(np.complex128)
-            hnorm = _norm(w)
+            if single_reduce and not reorthogonalize:
+                # one device roundtrip: [V^H w, ||w||^2] together, norm of
+                # the orthogonalized vector by Pythagoras on the host
+                w, h, wn2 = _orthogonalize_fused(V, w)
+                h_host = device_get_complex(h).astype(np.complex128)
+                wn2_f = float(host_float(wn2))
+                hn2 = wn2_f - float(np.sum(np.abs(h_host) ** 2))
+                if hn2 > 1e-4 * wn2_f:
+                    hnorm = float(np.sqrt(hn2))
+                else:
+                    # severe cancellation (w nearly in span V): the derived
+                    # norm is untrustworthy at working precision --
+                    # recompute it exactly (second reduction, rare)
+                    hnorm = _norm(w)
+            else:
+                w, h = _orthogonalize(V, w)
+                h_host = device_get_complex(h).astype(np.complex128)
+                if reorthogonalize:
+                    w, h2 = _orthogonalize(V, w)
+                    h_host = h_host + device_get_complex(h2).astype(np.complex128)
+                hnorm = _norm(w)
             H[: j + 1, j] = h_host[: j + 1]
             H[j + 1, j] = hnorm
             if hnorm > 1e-15:

@@ -42,6 +42,25 @@ def test_fgmres_plain_4to4(op4, rhs_ones):
     assert res.iterations < 1000
 
 
+def test_fgmres_single_reduce_parity(op4, rhs_ones):
+    """Single-reduction Arnoldi (reference SINGLE_ALLREDUCE_ARNOLDI,
+    src/linsolve_generic.c:668-738): the fused [V^H w, ||w||^2] reduction
+    with host-side Pythagoras norm must reproduce the two-reduction solve
+    (same iteration count, same converged residual regime)."""
+    import jax.numpy as jnp
+
+    b = jnp.asarray(rhs_ones)
+    op = lambda v: wilson.d_plus_clover(op4, v)  # noqa: E731
+    r1 = fgmres(op, b, tol=1e-10, restart_length=50, max_restarts=20,
+                single_reduce=False)
+    r2 = fgmres(op, b, tol=1e-10, restart_length=50, max_restarts=20,
+                single_reduce=True)
+    assert r2.converged
+    assert abs(r2.iterations - r1.iterations) <= 1, (r1.iterations,
+                                                     r2.iterations)
+    assert true_relres(op4, r2.x, b) < 1e-9
+
+
 def test_fgmres_with_identity_preconditioner_matches(op4, rhs_ones):
     import jax.numpy as jnp
 
