@@ -73,14 +73,17 @@ class Solver:
     method -1 CGN, 0 GMRES, 1/2/3 FGMRES + Schwarz (+AMG if interpolation>0
     and num_levels>1), 4 FGMRES + odd-even GMRES, 5 FGMRES + BiCGstab."""
 
-    def __init__(self, params: SolverParams, mesh=None):
+    def __init__(self, params: SolverParams, mesh=None, mg_overrides=None):
         """mesh: optional 4D jax.sharding.Mesh (parallel.make_solver_mesh).
         With a mesh, the gauge field, fine/intermediate multigrid levels and
         all solve vectors are sharded by 4D domain decomposition; the
         coarsest level is replicated (reference process grid + gathering,
-        src/ghost.c:47 / src/gathering_generic.c:44-209)."""
+        src/ghost.c:47 / src/gathering_generic.c:44-209).
+        mg_overrides: optional dict of MGConfig field overrides (e.g.
+        {"min_local_sites": 0} to shard every level)."""
         self.p = params.validate()
         self.mesh = mesh
+        self.mg_overrides = dict(mg_overrides or {})
         self.op: Optional[WilsonOperator] = None
         self.mg: Optional[Multigrid] = None
         self.preconditioner = None
@@ -166,13 +169,20 @@ class Solver:
     # --- setup ---------------------------------------------------------
 
     def _mg_config(self) -> MGConfig:
-        p = self.p
         fine_layout = "auto"
         if self.mesh is not None and (self.mesh.shape["y"] > 1
                                       or self.mesh.shape["x"] > 1):
             # the SoA fast path fuses Y*X; meshes splitting y/x need the
             # shardable logical layout at depth 0
             fine_layout = "logical"
+        if self.mg_overrides:
+            import dataclasses as _dc
+            return _dc.replace(self._mg_config_base(fine_layout),
+                               **self.mg_overrides)
+        return self._mg_config_base(fine_layout)
+
+    def _mg_config_base(self, fine_layout) -> MGConfig:
+        p = self.p
         return MGConfig(
             mesh=self.mesh, fine_layout=fine_layout,
             levels=[LevelConfig(

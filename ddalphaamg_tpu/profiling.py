@@ -155,6 +155,12 @@ def profile_hierarchy(mg, reps: int = 5, seed: int = 0) -> Profiler:
         jax.block_until_ready(out)
         return (_time.perf_counter() - t0) / reps
 
+    # stencils/P are passed as jit ARGUMENTS (they are registered
+    # pytrees), never closed over: baked-in constants bloat the program
+    # (the remote-compile relay rejects >~30 MB modules with HTTP 413)
+    # and defeat executable caching across rebuilt hierarchies
+    _full = jax.jit(lambda s, w: s.full_op(w))
+
     levels = mg._levels()
     for lvl in levels:
         vol = int(np.prod(lvl.geom.lattice))
@@ -164,7 +170,7 @@ def profile_hierarchy(mg, reps: int = 5, seed: int = 0) -> Profiler:
         else:
             n2 = lvl.stencil.field_shape[-1]
             op_flops = (flops_coarse_self(n2) + flops_coarse_neighbor(n2)) * vol
-        dt = timeit(jax.jit(lvl.stencil.full_op), v)
+        dt = timeit(_full, lvl.stencil, v)
         prof.add("op_apply", lvl.depth, dt, op_flops)
 
         if lvl.smoother is not None:
@@ -181,19 +187,21 @@ def profile_hierarchy(mg, reps: int = 5, seed: int = 0) -> Profiler:
             pt_flops = 8 * lvl.agg.m * n * 2 * int(np.prod(lvl.agg.coarse_lattice))
             s = lvl.stencil
             dt = timeit(jax.jit(
-                lambda w: restrict(lvl.agg, lvl.P, s.to_logical(w))), v)
+                lambda s_, P_, w: restrict(lvl.agg, P_, s_.to_logical(w))),
+                s, lvl.P, v)
             prof.add("restrict (P^H)", lvl.depth, dt, pt_flops)
             vc = rand_field(lvl.next)   # coarse fields are already logical
             dt = timeit(jax.jit(
-                lambda w: s.from_logical(
-                    interpolate(lvl.agg, lvl.P, w, lvl.dof_shape))), vc)
+                lambda s_, P_, w: s_.from_logical(
+                    interpolate(lvl.agg, P_, w, lvl.dof_shape))),
+                s, lvl.P, vc)
             prof.add("interpolate (P)", lvl.depth, dt, pt_flops)
 
         if lvl.is_coarsest and lvl.depth > 0:
             b = rand_field(lvl)
-            fn = jax.jit(lambda w: mg._coarsest_solve_traced(
-                lvl.stencil, lvl.geom, w, mg.cfg.coarse_tol)[0])
-            dt = timeit(fn, b)
+            fn = jax.jit(lambda s_, w: mg._coarsest_solve_traced(
+                s_, lvl.geom, w, mg.cfg.coarse_tol)[0])
+            dt = timeit(fn, lvl.stencil, b)
             prof.add("coarsest solve (OE-GCR)", lvl.depth, dt, 0.0)
 
     # the whole traced preconditioner cycle (one dispatch)

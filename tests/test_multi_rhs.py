@@ -116,3 +116,23 @@ def test_solve_multi_fallback_loop(conf4):
     for i, info in enumerate(infos):
         assert info.converged, (i, info)
         assert solver.true_residual(x[i], b[i]) < 5e-8
+
+
+def test_solve_multi_restart_cap_surfaced(conf4, monkeypatch):
+    """The multi-RHS inner-restart cap (device GCR basis memory budget,
+    VERDICT r2 weak item 6) is surfaced in SolveInfo.inner_restart_cap,
+    and the solve still converges when a tight budget forces the floor
+    (extra double-float refreshes, not a silent wrong answer)."""
+    monkeypatch.setenv("DDAAMG_FORCE_SPLIT", "1")
+    monkeypatch.setenv("DDAAMG_INNER_BASIS_BUDGET", "1")  # force the floor
+    p = config.parse_ini(INI)
+    solver = api.Solver(p)
+    solver.read_conf(conf4)
+    solver.setup()
+    b = np.stack([np.ones((*LAT, 4, 3), np.complex128),
+                  _rand_logical(7).astype(np.complex128)])
+    x, infos = solver.solve_multi(b, tol=1e-8)
+    for i, info in enumerate(infos):
+        assert info.inner_restart_cap == 5, info.inner_restart_cap  # floor
+        assert info.converged, (i, info)
+        assert solver.true_residual(x[i], b[i]) < 5e-8

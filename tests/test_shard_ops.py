@@ -174,3 +174,46 @@ def test_coarse_sharded_pallas_interpret_parity():
     got_blk = cplx.to_numpy(jax.jit(s_sh.block_op)(v_sh))
     np.testing.assert_allclose(got_full, want_full, atol=3e-5)
     np.testing.assert_allclose(got_blk, want_blk, atol=3e-5)
+
+
+@pytest.mark.slow
+def test_gathering_policy_three_levels_8dev():
+    """Intermediate-level gathering policy (reference idle-rank gathering,
+    src/gathering_generic.c:44-209) at 3 levels / 8 devices: a middle level
+    whose per-device volume falls below MGConfig.min_local_sites is
+    REPLICATED (no halo traffic in its stencil applies); forcing
+    min_local_sites=0 shards it instead, and the traced multigrid cycle
+    agrees between the two policies."""
+    from ddalphaamg_tpu.mg.hierarchy import LevelConfig, MGConfig, Multigrid
+
+    lat = (4, 8, 4, 4)
+    mesh = parallel.make_solver_mesh(n_devices=8, dims=(2, 4, 1, 1))
+    U = gauge.random_gauge(lat, seed=2, dtype=jnp.complex64)
+    op = parallel.shard_operator(
+        mesh, wilson.WilsonOperator.from_gauge(cplx.as_carray(U),
+                                               m0=M0, csw=CSW))
+    levels = [
+        LevelConfig(lattice=lat, block=(2, 2, 2, 2), post_smooth_iter=1,
+                    block_iter=2, num_test_vectors=4, setup_iter=0),
+        LevelConfig(lattice=(2, 4, 2, 2), block=(1, 1, 1, 1),
+                    num_test_vectors=4),
+        LevelConfig(lattice=(1, 2, 1, 1), block=(1, 1, 1, 1)),
+    ]
+    outs = {}
+    for policy, mls in (("gathered", 256), ("sharded", 0)):
+        mg = Multigrid(op, MGConfig(levels=list(levels), mesh=mesh,
+                                    fine_layout="soa", split=True, seed=3,
+                                    min_local_sites=mls))
+        lv = mg._levels()
+        assert len(lv) == 3
+        # depth-1 local volume on this mesh is 1*1*2*2 = 4 sites
+        assert lv[1].replicated == (policy == "gathered")
+        assert lv[2].replicated   # coarsest always gathered
+        rng = np.random.default_rng(5)
+        eta = parallel.shard_field(
+            mesh, cplx.as_carray(
+                (rng.normal(size=(*lat, 4, 3))
+                 + 1j * rng.normal(size=(*lat, 4, 3))).astype(np.complex64)),
+            lat)
+        outs[policy] = cplx.to_numpy(mg(eta))
+    np.testing.assert_allclose(outs["gathered"], outs["sharded"], atol=2e-4)
