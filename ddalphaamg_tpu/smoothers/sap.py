@@ -50,7 +50,18 @@ def color_masks(geom: Geometry, scheme: str = "red_black") -> list[np.ndarray]:
         site = sum(grids) % 2
         ncolors, color_of = 2, site
     elif scheme == "sixteen_color":
-        color_of = sum((g % 2) << i for i, g in enumerate(grids))
+        # visit order matches the reference (src/schwarz_generic.c:337-339):
+        # step k solves the blocks whose block-coordinate parity pattern
+        # p = 8(t%2)+4(z%2)+2(y%2)+(x%2) equals sigma[k] -- a schedule that
+        # pairs each step with ONE communication direction (color_to_comm);
+        # multiplicative Schwarz results depend on this order, so parity
+        # with ground truth requires it verbatim
+        sigma = [0, 1, 3, 2, 6, 4, 5, 7, 15, 14, 12, 13, 9, 11, 10, 8]
+        pattern = (((grids[0] % 2) << 3) + ((grids[1] % 2) << 2)
+                   + ((grids[2] % 2) << 1) + (grids[3] % 2))
+        color_of = np.zeros_like(pattern)
+        for k, p in enumerate(sigma):
+            color_of[pattern == p] = k
         ncolors = 16
     else:
         raise ValueError(scheme)

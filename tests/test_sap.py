@@ -38,12 +38,20 @@ def test_sap_reduces_residual(op4, geom, rhs):
     assert np.linalg.norm(r) / np.linalg.norm(np.asarray(rhs)) < 0.5
 
 
-@pytest.mark.parametrize("odd_even,ref_iters,ref_relres", [
-    (False, 39, 6.449437e-11),   # tests/ground_truth/4x4_sap_oe0.log
-    (True, 37, 6.200857e-11),    # tests/ground_truth/4x4_sap_oe1.log
+@pytest.mark.parametrize("scheme,odd_even,ref_iters,ref_relres", [
+    # reference method 2 (red-black), src/schwarz_generic.c:1260
+    ("red_black", False, 39, 6.449437e-11),   # ground_truth/4x4_sap_oe0.log
+    ("red_black", True, 37, 6.200857e-11),    # ground_truth/4x4_sap_oe1.log
+    # reference method 1 (additive), src/schwarz_generic.c:1077
+    ("additive", True, 79, 8.300966e-11),     # ground_truth/4x4_method1_additive.log
+    # reference method 3 (16-color), src/schwarz_generic.c:1652 with the
+    # sigma visit order from :337-339
+    ("sixteen_color", True, 39, 6.652346e-11),  # ground_truth/4x4_method3_16color.log
 ])
-def test_sap_iteration_parity(op4, geom, rhs, odd_even, ref_iters, ref_relres):
-    M = SchwarzPreconditioner(op4, geom, block_iter=4, cycles=1, odd_even=odd_even)
+def test_sap_iteration_parity(op4, geom, rhs, scheme, odd_even, ref_iters,
+                              ref_relres):
+    M = SchwarzPreconditioner(op4, geom, block_iter=4, cycles=1,
+                              odd_even=odd_even, scheme=scheme)
     res = fgmres(lambda v: wilson.d_plus_clover(op4, v), rhs,
                  preconditioner=M, tol=1e-10, restart_length=50, max_restarts=20)
     assert res.iterations == ref_iters, res.iterations

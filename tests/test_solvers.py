@@ -61,6 +61,25 @@ def test_fgmres_single_reduce_parity(op4, rhs_ones):
     assert true_relres(op4, r2.x, b) < 1e-9
 
 
+def test_fgmres_fused_single_dispatch_parity(op4, rhs_ones):
+    """single_reduce="fused" (ONE device program per Arnoldi step with the
+    exact norm inside -- the mesh-default reduction policy,
+    api.Solver._single_reduce) must reproduce the two-dispatch solve's
+    iteration count EXACTLY on the pinned 4^4 config: the math is
+    identical, only the dispatch structure changes."""
+    import jax.numpy as jnp
+
+    b = jnp.asarray(rhs_ones)
+    op = lambda v: wilson.d_plus_clover(op4, v)  # noqa: E731
+    r1 = fgmres(op, b, tol=1e-10, restart_length=50, max_restarts=20,
+                single_reduce=False)
+    r2 = fgmres(op, b, tol=1e-10, restart_length=50, max_restarts=20,
+                single_reduce="fused")
+    assert r2.converged
+    assert r2.iterations == r1.iterations, (r1.iterations, r2.iterations)
+    assert true_relres(op4, r2.x, b) < 1e-9
+
+
 def test_fgmres_with_identity_preconditioner_matches(op4, rhs_ones):
     import jax.numpy as jnp
 
