@@ -298,6 +298,19 @@ class Solver:
 
     # --- solves ----------------------------------------------------------
 
+    def _single_reduce(self):
+        """Arnoldi reduction policy for the host outer loop: under a
+        device mesh every host<->device roundtrip rides the network, so
+        each Arnoldi step runs as ONE fused device program
+        (solvers/fgmres._orthogonalize_fused2 -- the TPU analog of the
+        reference's SINGLE_ALLREDUCE_ARNOLDI, src/linsolve_generic.c:668,
+        with the norm computed exactly so iteration counts are unchanged).
+        Override with DDAAMG_SINGLE_REDUCE=0/1/fused/pythagoras."""
+        env = os.environ.get("DDAAMG_SINGLE_REDUCE")
+        if env is not None:
+            return {"0": False, "1": "fused"}.get(env, env)
+        return "fused" if self.mesh is not None else False
+
     def apply_operator(self, v):
         return _jit_apply(self.op, device_put_complex(v))
 
@@ -448,15 +461,40 @@ class Solver:
 
         # batched views of the cached outer building blocks; the jit
         # wrappers are cached on self so repeated solves never recompile
+        # cache key includes the hierarchy identity: the fused step bakes
+        # the mg config's trace-time constants (kcycle/coarse tolerances)
         if getattr(self, "_df_multi_fns", None) is None \
-                or self._df_multi_fns[0] != lat:
+                or self._df_multi_fns[0] != (lat, id(self.mg)):
             residual, extract_r32, axpy = dfm.build_outer_fns(lat)
+
+            # ONE device program per outer restart: df true residual ->
+            # per-lane relative residual and inner target -> inner GCR
+            # (frozen for converged lanes) -> df solution update.  The
+            # host's only per-restart work is ONE dispatch + ONE scalar
+            # fetch of rel; r3's loop paid ~5 dispatches/restart (~26 ms
+            # each on the relay) for the same math.
+            def _step(data, wdf_, b_, x_, nb_, tol32, clip32, m):
+                def one(b1, x1, nb1):
+                    r, rn2 = residual(wdf_, b1, x1)
+                    nr = jnp.sqrt(jnp.maximum(rn2[0] + rn2[1], 0.0))
+                    rel = nr / nb1
+                    conv = rel < tol32
+                    target = jnp.where(
+                        conv, jnp.float32(2.0),
+                        jnp.maximum(tol32 * nb1 / jnp.maximum(nr, 1e-30),
+                                    clip32))
+                    z, it, cit = self.mg._inner_restart_impl(
+                        data, extract_r32(r), target, m)
+                    return axpy(x1, z), rel, it, cit
+                return jax.vmap(one)(b_, x_, nb_)
+
             self._df_multi_fns = (
-                lat,
+                (lat, id(self.mg)),
                 jax.jit(jax.vmap(residual, in_axes=(None, 0, 0))),
                 jax.jit(jax.vmap(extract_r32)),
-                jax.jit(jax.vmap(axpy)))
-        _, residual_b, extract_b, axpy_b = self._df_multi_fns
+                jax.jit(jax.vmap(axpy)),
+                jax.jit(_step, static_argnames=("m",)))
+        _, residual_b, extract_b, axpy_b, step_b = self._df_multi_fns
 
         if x0 is not None:
             x = dfm.cdf_from64(to_soa64(np.asarray(x0, np.complex128)))
@@ -477,33 +515,44 @@ class Solver:
             max(5, min(p.restart_length, budget // max(n_dof * B, 1)))))
         self._last_m_cap = m_cap
 
+        # DDAAMG_INNER_CLIP: one f32 inner sweep cannot verify much below
+        # ~1e-7, and each restart boundary costs a double-float refresh +
+        # a from-scratch Krylov space, so the clip trades restart count
+        # against f32 stagnation risk.  Converged lanes get tol 2.0 -> the
+        # vmapped early-exit GCR freezes them at iteration 0 with a zero
+        # correction.
+        clip = float(os.environ.get("DDAAMG_INNER_CLIP", "1e-5"))
+        # the fused step bakes the Pallas-vs-einsum stencil choice per
+        # batch size (B>1: einsum views, see Multigrid._level_data_batched)
+        data = (self.mg._level_data() if B == 1
+                else self.mg._level_data_batched())
+        nb_dev = jnp.asarray(norm_b, jnp.float32)
+        tol32 = jnp.float32(tol)
+        clip32 = jnp.float32(clip)
+
         it_handles = []
         resvec = []
         relres = np.ones(B)
         converged = np.zeros(B, bool)
-        r_cdf = b_cdf
-        for restart in range(p.max_restarts + 1):
-            if restart == 0 and x0 is None:
-                nr = norm_b.copy()
-            else:
-                r_cdf, rn2 = residual_b(wdf, b_cdf, x)
-                arr = np.asarray(host_array(rn2))       # [B, 2] (hi, lo)
-                nr = np.sqrt(np.maximum(arr[:, 0] + arr[:, 1], 0.0))
-            relres = nr / norm_b
+        for restart in range(p.max_restarts):
+            # ONE dispatch: df residual + per-lane targets + inner GCR +
+            # df update; ONE scalar fetch: the pre-step relative residuals
+            x, rel, it, cit = step_b(data, wdf, b_cdf, x, nb_dev,
+                                     tol32, clip32, m=m_cap)
+            it_handles.append((it, cit))
+            relres = np.asarray(host_array(rel), np.float64)
             resvec.append(relres.copy())
             converged = relres < tol
-            if converged.all() or restart == p.max_restarts:
+            if converged.all():
                 break
-            # per-lane remaining reduction (clipped as in _solve_df_device);
-            # converged lanes get tol 2.0 -> the vmapped early-exit GCR
-            # freezes them at iteration 0 with a zero correction
-            rel_target = np.where(
-                converged, 2.0,
-                np.maximum(tol * norm_b / np.maximum(nr, 1e-300), 1e-5))
-            zc, it, cit = self.mg.inner_restart_batch(
-                extract_b(r_cdf), rel_target, m=m_cap)
-            x = axpy_b(x, zc)
-            it_handles.append((it, cit))
+        # final VERIFIED residual of the returned solution (the loop's rel
+        # is the pre-step residual; the last step's correction is unchecked)
+        _, rn2 = residual_b(wdf, b_cdf, x)
+        arr = np.asarray(host_array(rn2))               # [B, 2] (hi, lo)
+        nr = np.sqrt(np.maximum(arr[:, 0] + arr[:, 1], 0.0))
+        relres = nr / norm_b
+        resvec.append(relres.copy())
+        converged = relres < tol
         its = np.zeros(B)
         cits = np.zeros(B)
         for it, cit in it_handles:
@@ -655,12 +704,14 @@ class Solver:
                                     FLOPS_FINE_FULL * vol), b, x0=x0,
                             preconditioner=prec, tol=tol,
                             restart_length=p.restart_length,
-                            max_restarts=p.max_restarts)
+                            max_restarts=p.max_restarts,
+                            single_reduce=self._single_reduce())
         else:
             res = fgmres(apply_fine, b, x0=x0,
                          preconditioner=prec, tol=tol,
                          restart_length=p.restart_length,
-                         max_restarts=p.max_restarts)
+                         max_restarts=p.max_restarts,
+                         single_reduce=self._single_reduce())
         dt = time.time() - t0
         coarse_avg = 0.0
         if self.mg is not None and res.iterations:

@@ -305,6 +305,64 @@ def inv(a):
     return CArray(embi[..., :d, :d], embi[..., d:, :d])
 
 
+def matmul(a, b):
+    """2-D complex matrix product for (possibly split) matrices."""
+    if not isinstance(a, CArray):
+        return a @ b
+    return CArray(a.re @ b.re - a.im @ b.im, a.re @ b.im + a.im @ b.re)
+
+
+def inv_blocked(M: "CArray", max_real_lu: int = 8192, newton: int = 1):
+    """Inverse of a LARGE split-complex [n, n] matrix via 2x2 block
+    Schur-complement recursion.
+
+    Why: XLA:TPU's LU factorization streams [n, 128] panels through scoped
+    VMEM; at n_real = 14336 (the 28-test-vector coarsest Schur complement's
+    real embedding) the panel workspace is 21 MB > the 16 MB limit and the
+    compile fails outright.  Halving recursively keeps every LU's embedding
+    within `max_real_lu` while the glue -- Schur complement and assembly --
+    is plain MXU matmuls:
+
+        inv [[A,B],[C,D]] = [[Ai + AiB Si CAi, -AiB Si],
+                             [-Si CAi,          Si     ]],
+        S = D - C Ai B,  Ai = inv(A),  Si = inv(S).
+
+    This is block-LU without inter-block pivoting (XLA pivots within the
+    leaf LUs), so `newton` Newton refinement steps X <- X + X(I - M X) at
+    the top square the f32 residual -- ample for the coarsest-level direct
+    solve, whose GCR alternative is only asked for 5e-2.
+    """
+    n = M.re.shape[0]
+    if 2 * n <= max_real_lu:
+        return inv(M)
+
+    def blk(r0, r1, c0, c1):
+        return CArray(M.re[r0:r1, c0:c1], M.im[r0:r1, c0:c1])
+
+    h = n // 2
+    A, B = blk(0, h, 0, h), blk(0, h, h, n)
+    C, D = blk(h, n, 0, h), blk(h, n, h, n)
+    # refine at EVERY level: with newton only at the top, leaf errors
+    # compound multiplicatively through the Schur glue (measured 0.021
+    # per-column residual at 3 recursion levels vs 1.2e-4 with per-level
+    # refinement; matmul cost is negligible next to the leaf LUs)
+    Ai = inv_blocked(A, max_real_lu, newton=max(newton, 1))
+    AiB = matmul(Ai, B)
+    CAi = matmul(C, Ai)
+    S = D - matmul(C, AiB)
+    Si = inv_blocked(S, max_real_lu, newton=max(newton, 1))
+    X12 = -matmul(AiB, Si)
+    X11 = Ai - matmul(X12, CAi)
+    X21 = -matmul(Si, CAi)
+    X = CArray(jnp.block([[X11.re, X12.re], [X21.re, Si.re]]),
+               jnp.block([[X11.im, X12.im], [X21.im, Si.im]]))
+    for _ in range(newton):
+        R = matmul(M, X)
+        R = CArray((jnp.eye(n, dtype=R.re.dtype) - R.re), -R.im)
+        X = X + matmul(X, R)
+    return X
+
+
 def herm_inv(a):
     """Batched inverse of HERMITIAN [..., d, d] blocks via Cholesky
     factorization (reference selfcoupling_cholesky_decomposition_PRECISION,

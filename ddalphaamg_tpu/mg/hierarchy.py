@@ -454,9 +454,14 @@ class Multigrid:
             tv = parallel.shard_stacked_field(self.cfg.mesh, tv,
                                               level.geom.lattice, soa=False)
         sm = level.smoother
+        # vmapped over the TV batch -> einsum view, not Pallas (see
+        # _level_data_batched)
+        s = level.stencil
+        if getattr(s, "use_pallas", False):
+            s = dataclasses.replace(s, use_pallas=False)
         return _prof(
             "setup: initial tv smoothing", level.depth,
-            lambda: _initial_smooth_batch(level.stencil, sm.colors, tv,
+            lambda: _initial_smooth_batch(s, sm.colors, tv,
                                           (1, 2, 3), sm.block_iter,
                                           sm.odd_even))
 
@@ -499,6 +504,25 @@ class Multigrid:
              "dense_inv": lvl.dense_inv,
              "colors": None if lvl.smoother is None else lvl.smoother.colors}
             for lvl in self._levels())
+
+    def _level_data_batched(self):
+        """Cycle views for BATCHED device programs (vmapped multi-RHS
+        restarts and the vmapped setup sweeps): Pallas kernels are swapped
+        for the XLA dot_general path over the SAME packed arrays.  A
+        pallas_call under jax.vmap gets a fresh grid axis per lane and
+        re-streams every stencil block once PER LANE -- at B=12 that turns
+        the HBM-bound coarse/fine applies into 12x the traffic (measured:
+        1.28x multi-RHS speedup instead of ~B/latency).  The batched
+        einsum reads each block once and contracts it with all B lanes as
+        an MXU (d x d) @ (d x B)-shaped dot, which is what multi-RHS is
+        FOR."""
+        out = []
+        for dd in self._level_data():
+            s = dd["stencil"]
+            if getattr(s, "use_pallas", False):
+                s = dataclasses.replace(s, use_pallas=False)
+            out.append({**dd, "stencil": s})
+        return tuple(out)
 
     def _coarsest_solve_traced(self, s, geom, b, tol, dense_inv=None):
         """Odd-even Schur GCR on the coarsest level, fully on device
@@ -676,7 +700,7 @@ class Multigrid:
                     lambda rr, tt: self._inner_restart_impl(data, rr, tt, m)
                 )(rb, tb)
             self._inner_batch_jit = jax.jit(impl, static_argnames=("m",))
-        return self._inner_batch_jit(self._level_data(), r,
+        return self._inner_batch_jit(self._level_data_batched(), r,
                                      jnp.asarray(rel_tols, jnp.float32), m=m)
 
     # ------------------------------------------------------------------
@@ -757,7 +781,7 @@ class Multigrid:
             self._2lvl_jit = jax.jit(impl, static_argnames=("depth",))
         for _k in range(setup_iter):
             level.test_vectors = self._2lvl_jit(
-                self._level_data(), level.depth, level.test_vectors)
+                self._level_data_batched(), level.depth, level.test_vectors)
             self.re_setup(level, depth_only=True)
         if not level.next.is_coarsest:
             self._inv_iter_2lvl(level.next, setup_iter)
@@ -797,7 +821,7 @@ class Multigrid:
                 return jax.vmap(one)(tvs)
             self._setup_batch_jit = jax.jit(
                 impl, static_argnames=("depth", "kcycle_tol"))
-        return self._setup_batch_jit(self._level_data(), tvs,
+        return self._setup_batch_jit(self._level_data_batched(), tvs,
                                      depth=level.depth, kcycle_tol=ktol)
 
     def _inv_iter_fcycle(self, level: MGLevel, setup_iter: int):

@@ -105,7 +105,7 @@ def _kernel_t(d, b_re, b_im, v_re, v_im, o_re, o_im):
     # starts lower to the cheapest mosaic form, and a traced fori_loop
     # inside the kernel hits an unsupported-i64 lowering recursion under
     # x64 mode (jax 0.9 _convert_helper)
-    k = pl.program_id(1)
+    k = pl.program_id(2)
     ar = jnp.zeros(o_re.shape[1:], jnp.float32)
     ai = ar
     for j in range(d):
@@ -131,7 +131,7 @@ def _kernel_t(d, b_re, b_im, v_re, v_im, o_re, o_im):
 
 
 def _kernel_tz(d, b_re, b_im, v_re, v_im, o_re, o_im):
-    k = pl.program_id(2)
+    k = pl.program_id(3)
     ar = jnp.zeros(o_re.shape[2:], jnp.float32)
     ai = ar
     for j in range(d):
@@ -156,6 +156,20 @@ def _kernel_tz(d, b_re, b_im, v_re, v_im, o_re, o_im):
         o_im[0, 0] = o_im[0, 0] + ai
 
 
+def _minor_chunk(total: int, d: int) -> int:
+    """Largest lane-aligned chunk of the minor axis whose double-buffered
+    block-pair working set (re+im of one d*d x chunk stencil block) stays
+    within ~8 MiB of the 16 MiB scoped VMEM: at 16 TVs (d=32) the whole
+    axis fits in one chunk (the r3 kernel), at 28 TVs (d=56) the un-chunked
+    block pair is ~26 MiB and Mosaic refuses to compile (measured VMEM OOM
+    at d=56, zm=512)."""
+    budget = 8 * 1024 * 1024
+    c = total
+    while c > 128 and c % 2 == 0 and 2 * 2 * (d * d * c * 4) > budget:
+        c //= 2
+    return c
+
+
 @functools.lru_cache(maxsize=None)
 def _build_call(lattice, d, nterms, layout, interpret):
     t, z, y, x = lattice
@@ -172,17 +186,19 @@ def _build_call(lattice, d, nterms, layout, interpret):
 
     if layout == "t":
         zm = z * y * x
-        b_blk = pl.BlockSpec((1, 1, d * d, zm),
-                             lambda ti, k: (_g(k), _g(ti), _i0(0), _i0(0)),
+        c = _minor_chunk(zm, d)
+        nc = zm // c
+        b_blk = pl.BlockSpec((1, 1, d * d, c),
+                             lambda ti, zi, k: (_g(k), _g(ti), _i0(0), _g(zi)),
                              memory_space=pltpu.VMEM)
-        v_blk = pl.BlockSpec((1, 1, d, zm),
-                             lambda ti, k: (_g(k), _g(ti), _i0(0), _i0(0)),
+        v_blk = pl.BlockSpec((1, 1, d, c),
+                             lambda ti, zi, k: (_g(k), _g(ti), _i0(0), _g(zi)),
                              memory_space=pltpu.VMEM)
-        o_blk = pl.BlockSpec((1, d, zm),
-                             lambda ti, k: (_g(ti), _i0(0), _i0(0)),
+        o_blk = pl.BlockSpec((1, d, c),
+                             lambda ti, zi, k: (_g(ti), _i0(0), _g(zi)),
                              memory_space=pltpu.VMEM)
         return pl.pallas_call(
-            partial(_kernel_t, d), grid=(t, nterms),
+            partial(_kernel_t, d), grid=(t, nc, nterms),
             in_specs=[b_blk, b_blk, v_blk, v_blk],
             out_specs=(o_blk, o_blk),
             out_shape=(jax.ShapeDtypeStruct((t, d, zm), jnp.float32),
@@ -190,19 +206,22 @@ def _build_call(lattice, d, nterms, layout, interpret):
             cost_estimate=cost, interpret=interpret)
 
     m = y * x
-    b_blk = pl.BlockSpec((1, 1, 1, d * d, m),
-                         lambda ti, zi, k: (_g(k), _g(ti), _g(zi),
-                                            _i0(0), _i0(0)),
+    c = _minor_chunk(m, d)
+    nc = m // c
+    b_blk = pl.BlockSpec((1, 1, 1, d * d, c),
+                         lambda ti, zi, mi, k: (_g(k), _g(ti), _g(zi),
+                                                _i0(0), _g(mi)),
                          memory_space=pltpu.VMEM)
-    v_blk = pl.BlockSpec((1, 1, 1, d, m),
-                         lambda ti, zi, k: (_g(k), _g(ti), _g(zi),
-                                            _i0(0), _i0(0)),
+    v_blk = pl.BlockSpec((1, 1, 1, d, c),
+                         lambda ti, zi, mi, k: (_g(k), _g(ti), _g(zi),
+                                                _i0(0), _g(mi)),
                          memory_space=pltpu.VMEM)
-    o_blk = pl.BlockSpec((1, 1, d, m),
-                         lambda ti, zi, k: (_g(ti), _g(zi), _i0(0), _i0(0)),
+    o_blk = pl.BlockSpec((1, 1, d, c),
+                         lambda ti, zi, mi, k: (_g(ti), _g(zi), _i0(0),
+                                                _g(mi)),
                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        partial(_kernel_tz, d), grid=(t, z, nterms),
+        partial(_kernel_tz, d), grid=(t, z, nc, nterms),
         in_specs=[b_blk, b_blk, v_blk, v_blk],
         out_specs=(o_blk, o_blk),
         out_shape=(jax.ShapeDtypeStruct((t, z, d, m), jnp.float32),

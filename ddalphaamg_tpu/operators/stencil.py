@@ -560,9 +560,15 @@ def _invert_cols(cols, rdtype):
     if cplx.is_split(cols):
         dre, dim = cols.re.T, cols.im.T      # D[i, k] = (D e_k)[i]
         k = dre.shape[0]
-        r = jnp.block([[dre, -dim], [dim, dre]])
-        rinv = jnp.linalg.inv(r)
-        inv = cplx.CArray(rinv[:k, :k], rinv[k:, :k])
+        if 2 * k > 8192:
+            # XLA:TPU's LU panel workspace OOMs scoped VMEM beyond ~10k
+            # real rows (measured: 14336 at 28 TVs refuses to compile) --
+            # block Schur-complement recursion keeps every LU small
+            inv = cplx.inv_blocked(cplx.CArray(dre, dim))
+        else:
+            r = jnp.block([[dre, -dim], [dim, dre]])
+            rinv = jnp.linalg.inv(r)
+            inv = cplx.CArray(rinv[:k, :k], rinv[k:, :k])
         return inv if rdtype is None else inv.astype_real(rdtype)
     return jnp.linalg.inv(cols.T)
 
