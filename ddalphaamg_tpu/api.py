@@ -147,9 +147,28 @@ class Solver:
                 U_h = parallel.shard_links(self.mesh, U_h)
             clov = compute_clover(U, self.p.m0, self.p.csw)
             self.op = WilsonOperator(links=0.5 * U_h, clover=clov)
+        elif int(np.prod(self.lattice)) > 200_000:
+            # large lattices: the one-program device clover materializes
+            # O(100) staple temporaries and OOMs HBM (measured 70 GB at
+            # 32^4); build it on the host instead (complex128, the same
+            # routine the double-float outer operator uses) and ship the
+            # finished blocks
+            from .gauge import compute_clover_np
+            clov = device_put_complex(
+                compute_clover_np(U_host, self.p.m0, self.p.csw),
+                dtype=default_complex_dtype())
+            if self.mesh is not None:
+                from . import parallel
+                clov = parallel.shard_field(self.mesh, clov, self.lattice)
+            self.op = WilsonOperator(links=0.5 * U, clover=clov)
         else:
             self.op = WilsonOperator.from_gauge(U, m0=self.p.m0, csw=self.p.csw)
         self.status.gauge_updates_since_setup += 1
+        if int(np.prod(self.lattice)) > 200_000:
+            # the one-program device plaquette holds ~50 GB of plane
+            # temporaries at 32^4; the host U copy is already here
+            from .tools import _plaquette
+            return float(_plaquette(U_host))
         return float(average_plaquette(U))
 
     def _wilson_df(self):
@@ -205,6 +224,10 @@ class Solver:
                              if p.coarsest_direct is not None
                              else default_split() and self._coarsest_n()
                              <= (16384 if self._coarsest_schur_ok() else 8192)),
+            smoother_direct=(p.smoother_direct
+                             if p.smoother_direct is not None
+                             else default_split()
+                             and jax.default_backend() == "tpu"),
         )
 
     def _coarsest_schur_ok(self) -> bool:
@@ -515,13 +538,18 @@ class Solver:
             max(5, min(p.restart_length, budget // max(n_dof * B, 1)))))
         self._last_m_cap = m_cap
 
-        # DDAAMG_INNER_CLIP: one f32 inner sweep cannot verify much below
-        # ~1e-7, and each restart boundary costs a double-float refresh +
-        # a from-scratch Krylov space, so the clip trades restart count
-        # against f32 stagnation risk.  Converged lanes get tol 2.0 -> the
+        # DDAAMG_INNER_CLIP: the true (double-float) residual reduction one
+        # f32 inner sweep can deliver is floored at ~kappa(D) * eps_f32 by
+        # the f32 ROUNDING OF THE OPERATOR ITSELF -- measured on the rough
+        # 16^4 headline problem the floor is 2e-3..1.4e-2 per sweep no
+        # matter how far the inner GCR iterates (target 1e-5 delivered the
+        # SAME per-restart reductions as 3e-3, just with ~2 wasted
+        # iterations each).  Clipping at 3e-3 reached 1e-10 in 13 inner
+        # iterations vs 21 at the old 1e-5 clip (probe_solve_latency,
+        # 28-TV matched parameters).  Converged lanes get tol 2.0 -> the
         # vmapped early-exit GCR freezes them at iteration 0 with a zero
         # correction.
-        clip = float(os.environ.get("DDAAMG_INNER_CLIP", "1e-5"))
+        clip = float(os.environ.get("DDAAMG_INNER_CLIP", "3e-3"))
         # the fused step bakes the Pallas-vs-einsum stencil choice per
         # batch size (B>1: einsum views, see Multigrid._level_data_batched)
         data = (self.mg._level_data() if B == 1

@@ -65,6 +65,10 @@ class SolverParams:
     # None = auto (on for the TPU path when the coarsest problem is small
     # enough that one MXU matvec beats tens of latency-bound GCR steps)
     coarsest_direct: Optional[bool] = None
+    # exact per-block Schwarz solves at coarse levels for the post-setup
+    # cycle (batched block inverses); None = auto (on for the TPU path --
+    # the MinRes block solver is the measured cycle-time hotspot there)
+    smoother_direct: Optional[bool] = None
     print_mode: int = 1
     randomize_test_vectors: bool = False
     seed: int = 42
@@ -134,6 +138,7 @@ _BOOL_KEYS = {
     "compare with CGN error": "track_cgn_error",
     "coarse block bf16": "coarse_block_bf16",
     "coarsest direct": "coarsest_direct",
+    "smoother direct": "smoother_direct",
 }
 _INT_KEYS = {
     "format": "format",

@@ -64,6 +64,54 @@ def _resetup_kernel(stencil, op_galerkin, tvs, agg, geom, n: int,
     return P, CoarseStencil.build(cop, geom)
 
 
+@partial(jax.jit, static_argnames=("agg", "n"))
+def _interp_kernel(stencil, tvs, agg, n: int):
+    tvs_log = cplx.stack([stencil.to_logical(tvs[i]) for i in range(n)])
+    return build_interpolation(agg, tvs_log)
+
+
+@partial(jax.jit, static_argnames=("agg", "kind", "mu"))
+def _galerkin_piece_kernel(op_galerkin, P, agg, kind: str, mu: int):
+    from .galerkin import galerkin_piece
+    return galerkin_piece(op_galerkin, agg, P, kind, mu)
+
+
+@partial(jax.jit, static_argnames=("geom", "soa", "layout"))
+def _coarse_stencil_kernel(cop, geom, soa: bool, layout: str):
+    from ..operators.stencil import CoarseStencilSoA
+    if soa:
+        return CoarseStencilSoA.build(cop, geom, layout=layout)
+    return CoarseStencil.build(cop, geom)
+
+
+def _resetup_any(stencil, op_galerkin, tvs, agg, geom, n: int,
+                 soa: bool = False, layout: str = "t"):
+    """One coarsening rebuild: the fused single-program _resetup_kernel on
+    ordinary volumes; on LARGE lattices (> 200k sites) the interpolation,
+    each of the nine Galerkin coupling pieces, and the coarse stencil run
+    as separate programs -- the fused build's live set is ~66 GB at 32^4."""
+    if int(np.prod(agg.fine_lattice)) <= 200_000:
+        return _resetup_kernel(stencil, op_galerkin, tvs, agg, geom, n,
+                               soa=soa, layout=layout)
+    P = _interp_kernel(stencil, tvs, agg, n)
+    if isinstance(op_galerkin, WilsonOperator):
+        # the fine "A" piece (clover + 8 intra hop directions in one
+        # program) still demands 36 GB at 32^4: one direction per program
+        A = _galerkin_piece_kernel(op_galerkin, P, agg, "A_self", 0)
+        for mu in range(4):
+            A = A + _galerkin_piece_kernel(op_galerkin, P, agg, "A_fwd", mu)
+            A = A + _galerkin_piece_kernel(op_galerkin, P, agg, "A_bwd", mu)
+    else:
+        A = _galerkin_piece_kernel(op_galerkin, P, agg, "A", 0)
+    Df = cplx.stack([_galerkin_piece_kernel(op_galerkin, P, agg, "Df", mu)
+                     for mu in range(4)])
+    Db = cplx.stack([_galerkin_piece_kernel(op_galerkin, P, agg, "Db", mu)
+                     for mu in range(4)])
+    from ..operators.coarse import CoarseOperator
+    cop = CoarseOperator(A=A, Df=Df, Db=Db)
+    return P, _coarse_stencil_kernel(cop, geom, soa, layout)
+
+
 @jax.jit
 def _normalize(v):
     return v * jax.lax.rsqrt(cplx.norm2(v))
@@ -89,12 +137,14 @@ def _prof(name: str, depth: int, fn):
     return out
 
 
-@partial(jax.jit, static_argnames=("cycles_seq", "block_iter", "odd_even"))
+@partial(jax.jit, static_argnames=("cycles_seq", "block_iter", "odd_even",
+                                   "chunk"))
 def _initial_smooth_batch(stencil, colors, tvs_logical, cycles_seq,
-                          block_iter, odd_even):
+                          block_iter, odd_even, chunk: int = 0):
     """All initial test vectors' progressive SAP smoothing (1, 2, 3 cycles)
     in ONE device program (vmapped over the TV batch; one dispatch instead
-    of 3N)."""
+    of 3N).  chunk > 0 bounds the vmapped width (lax.map) -- at 32^4 the
+    full-width batch of sweep temporaries exceeds HBM."""
     from ..smoothers.sap import sap_smooth
 
     def one(v):
@@ -103,6 +153,8 @@ def _initial_smooth_batch(stencil, colors, tvs_logical, cycles_seq,
             v = sap_smooth(stencil, colors, v, ncy, block_iter, odd_even)
         return _normalize(v)
 
+    if chunk:
+        return jax.lax.map(one, tvs_logical, batch_size=chunk)
     return jax.vmap(one)(tvs_logical)
 
 
@@ -205,6 +257,14 @@ class MGConfig:
     # iterations per cycle become ONE MXU matvec.  Rebuilt by re_setup;
     # only sensible while sites x 2N_tv stays a few thousand.
     coarsest_direct: bool = False
+    # exact per-block Schwarz solves on COARSE levels (depth>0) for the
+    # post-setup traced cycle: the reference's local MinRes block solver
+    # (block_iter stencil sweeps per solve) becomes ONE batched
+    # [nb, m, m] matvec against precomputed block inverses -- measured
+    # 28-TV depth-1 smoothing is ~30 ms of a 33 ms cycle via MinRes.
+    # Setup keeps the MinRes smoother (reference bootstrap behavior);
+    # inverses are built lazily at the first post-setup cycle.
+    smoother_direct: bool = False
     # intermediate-level gathering threshold (reference idle-rank gathering,
     # src/gathering_generic.c:44-209): an intermediate level whose per-device
     # site count under the mesh falls below this is REPLICATED instead of
@@ -246,6 +306,8 @@ class MGLevel:
     cycle_stencil: Optional[tuple] = None
     # [n, n] inverse of the full coarsest operator (coarsest_direct)
     dense_inv: Optional[object] = None
+    # [nb, m, m] Schwarz-block inverses (MGConfig.smoother_direct)
+    block_inv: Optional[object] = None
     # under a mesh: True when this level's arrays are replicated instead of
     # sharded (coarsest always; intermediates below min_local_sites --
     # the reference's idle-rank gathering analog)
@@ -367,8 +429,14 @@ class Multigrid:
             geom = Geometry(lattice=tuple(lc.lattice), block=tuple(lc.block))
             galerkin_op = None
             if d == 0:
-                stencil = _fine_stencil_kernel(op, geom, cfg.dtype,
-                                               soa=cfg.use_soa)
+                if cfg.use_soa and int(np.prod(lc.lattice)) > 200_000:
+                    # large lattices: the one-program build's ~25 live
+                    # clover temporaries OOM HBM (32 GB at 32^4); slab it
+                    stencil = WilsonStencilSoA.build_chunked(
+                        op, geom, dtype=cfg.dtype)
+                else:
+                    stencil = _fine_stencil_kernel(op, geom, cfg.dtype,
+                                                   soa=cfg.use_soa)
                 if cfg.use_soa:
                     galerkin_op = op.astype(cfg.dtype)
             else:
@@ -383,7 +451,7 @@ class Multigrid:
                 prev.agg = agg
                 key, sub = jax.random.split(key)
                 prev.test_vectors = self._initial_test_vectors(levels[-1], sub)
-                prev.P, stencil = _resetup_kernel(
+                prev.P, stencil = _resetup_any(
                     prev.stencil, prev.operator_for_galerkin(),
                     prev.test_vectors, agg, geom,
                     prev.cfg.num_test_vectors, soa=cfg.use_coarse_soa,
@@ -459,11 +527,13 @@ class Multigrid:
         s = level.stencil
         if getattr(s, "use_pallas", False):
             s = dataclasses.replace(s, use_pallas=False)
+        vol = int(np.prod(level.geom.lattice))
+        chunk = 0 if vol * n <= 4_000_000 else max(1, 4_000_000 // vol)
         return _prof(
             "setup: initial tv smoothing", level.depth,
             lambda: _initial_smooth_batch(s, sm.colors, tv,
                                           (1, 2, 3), sm.block_iter,
-                                          sm.odd_even))
+                                          sm.odd_even, chunk=chunk))
 
     # ------------------------------------------------------------------
     # cycles -- ONE traced computation per preconditioner application
@@ -494,14 +564,36 @@ class Multigrid:
             lvl.cycle_stencil = (lvl.stencil, lvl.stencil.compress())
         return lvl.cycle_stencil[1]
 
+    def _ensure_block_inv(self):
+        """Lazily build coarse-level Schwarz-block inverses
+        (MGConfig.smoother_direct).  Deferred during the bootstrap
+        (_defer_dense): setup cycles keep the reference's MinRes block
+        solver, and inverses of intermediate hierarchies would be thrown
+        away by the next re_setup anyway."""
+        if not self.cfg.smoother_direct or self._defer_dense:
+            return
+        from ..smoothers.sap import build_block_inverse
+        rdtype = (jnp.bfloat16 if self.cfg.coarse_block_bf16 and self._split
+                  else None)
+        for lvl in self._levels():
+            if lvl.depth == 0 or lvl.smoother is None \
+                    or lvl.block_inv is not None:
+                continue
+            binv = _prof("setup: block inverses", lvl.depth,
+                         lambda l=lvl: build_block_inverse(l.stencil))
+            if rdtype is not None and cplx.is_split(binv):
+                binv = binv.astype_real(rdtype)
+            lvl.block_inv = binv
+
     def _level_data(self):
         """The hierarchy's array content as a pytree (jit argument) --
         stencils are rebuilt by re_setup, so they must be arguments, not
         trace-time constants."""
         self._ensure_dense_inv()
+        self._ensure_block_inv()
         return tuple(
             {"stencil": self._cycle_view(lvl), "P": lvl.P,
-             "dense_inv": lvl.dense_inv,
+             "dense_inv": lvl.dense_inv, "block_inv": lvl.block_inv,
              "colors": None if lvl.smoother is None else lvl.smoother.colors}
             for lvl in self._levels())
 
@@ -607,7 +699,8 @@ class Multigrid:
             x = sap_smooth_from(s, data[depth]["colors"], eta, x,
                                 cycles=level.cfg.post_smooth_iter,
                                 block_iter=level.cfg.block_iter,
-                                odd_even=(depth == 0 and cfg.odd_even))
+                                odd_even=(depth == 0 and cfg.odd_even),
+                                block_inv=data[depth].get("block_inv"))
         return x, citers
 
     def _cycle_entry(self, data, eta, depth: int, kcycle_tol: float,
@@ -767,7 +860,8 @@ class Multigrid:
         buf = sap_smooth_from(s, data[depth]["colors"], tv, buf,
                               cycles=level.cfg.post_smooth_iter,
                               block_iter=level.cfg.block_iter,
-                              odd_even=(depth == 0 and cfg.odd_even))
+                              odd_even=(depth == 0 and cfg.odd_even),
+                              block_inv=data[depth].get("block_inv"))
         return buf * (1.0 / jnp.sqrt(cplx.norm2(buf)))
 
     def _inv_iter_2lvl(self, level: MGLevel, setup_iter: int):
@@ -806,7 +900,7 @@ class Multigrid:
         if cfg.num_levels - level.depth <= 2:
             ktol = 0.0  # mirror _run_cycle's no-K-cycle clamp (no retraces)
         if self._setup_batch_jit is None:
-            def impl(data, tvs, depth, kcycle_tol):
+            def impl(data, tvs, depth, kcycle_tol, chunk):
                 def one(tv):
                     if depth == 0:
                         s = data[0]["stencil"]
@@ -818,11 +912,19 @@ class Multigrid:
                         data, tv, depth=depth, kcycle_tol=kcycle_tol,
                         want_collect=True)
                     return x, collect
+                if chunk:
+                    # large volumes: bound the vmapped width (the full-TV
+                    # batch of cycle temporaries OOMs HBM at 32^4)
+                    return jax.lax.map(one, tvs, batch_size=chunk)
                 return jax.vmap(one)(tvs)
             self._setup_batch_jit = jax.jit(
-                impl, static_argnames=("depth", "kcycle_tol"))
+                impl, static_argnames=("depth", "kcycle_tol", "chunk"))
+        vol = int(np.prod(level.geom.lattice))
+        n = int(level.cfg.num_test_vectors)
+        chunk = 0 if vol * n <= 2_000_000 else max(1, 2_000_000 // vol)
         return self._setup_batch_jit(self._level_data_batched(), tvs,
-                                     depth=level.depth, kcycle_tol=ktol)
+                                     depth=level.depth, kcycle_tol=ktol,
+                                     chunk=chunk)
 
     def _inv_iter_fcycle(self, level: MGLevel, setup_iter: int):
         cfg = self.cfg
@@ -872,6 +974,7 @@ class Multigrid:
                 lvl.smoother.replace_stencil(lvl.stencil)
             lvl.cycle_stencil = None
             lvl.dense_inv = None
+            lvl.block_inv = None
             if lvl.galerkin_op is not None:
                 from ..operators.wilson import shift_diagonal
                 lvl.galerkin_op = shift_diagonal(lvl.galerkin_op, float(delta))
@@ -908,7 +1011,7 @@ class Multigrid:
         lvl = level
         while lvl is not None and not lvl.is_coarsest:
             nxt = lvl.next
-            lvl.P, nxt.stencil = _resetup_kernel(
+            lvl.P, nxt.stencil = _resetup_any(
                 lvl.stencil, lvl.operator_for_galerkin(), lvl.test_vectors,
                 lvl.agg, nxt.geom, lvl.cfg.num_test_vectors,
                 soa=self.cfg.use_coarse_soa, layout=self._coarse_layout)
@@ -919,6 +1022,7 @@ class Multigrid:
             if nxt.smoother is not None:
                 nxt.smoother.replace_stencil(nxt.stencil)
             self._shard_level(nxt)
+            nxt.block_inv = None       # stale vs the rebuilt stencil
             if nxt.is_coarsest:
                 nxt.dense_inv = None   # stale vs the rebuilt stencil
             if depth_only:

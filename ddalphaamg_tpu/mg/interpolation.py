@@ -120,10 +120,25 @@ def interpolate(agg: Aggregation, P: jnp.ndarray, v_c: jnp.ndarray, dof_shape) -
 def assemble_basis(agg: Aggregation, P: jnp.ndarray, dof_shape) -> jnp.ndarray:
     """All 2N globally-assembled coarse basis vectors as fine fields:
     B[c*N+k] = P e_{c,k} on every aggregate simultaneously.
-    Shape: [2N, T,Z,Y,X, *dof].  Input to the Galerkin triple product."""
-    z = cplx.zeros_like(P)
-    cols = cplx.concatenate([
-        cplx.stack([P[..., 0, :, :], z[..., 1, :, :]], axis=-3),
-        cplx.stack([z[..., 0, :, :], P[..., 1, :, :]], axis=-3),
-    ], axis=-1)  # [Tc,Zc,Yc,Xc, 2, m, 2N]
-    return jax.vmap(lambda c: from_aggregates(agg, c, dof_shape), in_axes=-1)(cols)
+    Shape: [2N, T,Z,Y,X, *dof].  Input to the Galerkin triple product.
+
+    Built column-by-column (lax.map): the padded stack-and-concat form
+    materialized ~5 P-sized intermediates at once -- at 32^4 that is ~8 GB
+    of transient HBM inside every Galerkin piece program."""
+    N = agg.num_vectors
+
+    def one(q):
+        c, k = q // N, q % N
+        rd = P.re.dtype if cplx.is_split(P) else None
+        col0 = P[..., 0, :, k]
+        col1 = P[..., 1, :, k]
+        if rd is not None:
+            m0 = (c == 0).astype(rd)
+            m1 = (c == 1).astype(rd)
+        else:
+            m0 = (c == 0).astype(P.real.dtype)
+            m1 = (c == 1).astype(P.real.dtype)
+        col = cplx.stack([col0 * m0, col1 * m1], axis=-2)
+        return from_aggregates(agg, col, dof_shape)
+
+    return jax.lax.map(one, jnp.arange(2 * N))

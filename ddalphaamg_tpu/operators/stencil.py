@@ -739,6 +739,75 @@ class WilsonStencilSoA:
             odd=fast.lattice_mask_to_soa(1.0 - par, rdtype),
             geom=geom, use_pallas=bool(use_pallas))
 
+    @classmethod
+    def build_chunked(cls, op: WilsonOperator, geom: Geometry, dtype=None,
+                      use_pallas=None, slab_sites: int = 2 ** 17
+                      ) -> "WilsonStencilSoA":
+        """Memory-lean build for LARGE lattices: the one-program build()
+        holds ~25 clover-sized live temporaries (measured 32 GB of HBM
+        demand at 32^4) because herm_inv/packing/relayout all trace into a
+        single XLA program.  Here the per-site clover transforms run as
+        jitted T-SLAB programs (peak extra memory ~= a few slabs) and the
+        results are concatenated; link relayouts are separate programs.
+        Output is IDENTICAL to build() (same kernels, same layout)."""
+        from . import fast, pallas_dslash
+        if dtype is not None:
+            op = op.astype(dtype)
+        if not cplx.is_split(op.links):
+            op = op.split()
+        rdtype = op.links.re.dtype
+        if use_pallas is None:
+            import os
+            use_pallas = (jax.default_backend() == "tpu"
+                          or bool(os.environ.get("DDAAMG_FORCE_PALLAS")))
+        t = geom.lattice[0]
+        sites_per_t = int(np.prod(geom.lattice[1:]))
+        tc = max(1, min(t, slab_sites // max(sites_per_t, 1)))
+        while t % tc:
+            tc -= 1
+
+        @jax.jit
+        def _links_soa(lk):
+            return fast.links_to_soa(lk)
+
+        @jax.jit
+        def _intra_soa(lk, mask):
+            return fast.links_to_soa(lk * mask)
+
+        @jax.jit
+        def _clover_slab(cl):
+            soa = fast.clover_to_soa(cl)
+            inv = fast.clover_to_soa(cplx.herm_inv(cl))
+            cd, co = pallas_dslash.pack_clover(soa)
+            cdi, coi = pallas_dslash.pack_clover(inv)
+            return soa, inv, cd, co, cdi, coi
+
+        parts = [_clover_slab(op.clover[i * tc:(i + 1) * tc])
+                 for i in range(t // tc)]
+
+        def cat(k, axis):
+            xs = [p[k] for p in parts]
+            if cplx.is_split(xs[0]):
+                return cplx.concatenate(xs, axis=axis)
+            return jnp.concatenate(xs, axis=axis)
+
+        # SoA clover axes: [2,6,6,T,Z,M] -> T at 3; packed [2,k,T,Z,M] -> 2
+        clover, clover_inv = cat(0, 3), cat(1, 3)
+        cdiag, coff = cat(2, 2), cat(3, 2)
+        cdiag_inv, coff_inv = cat(4, 2), cat(5, 2)
+        links = _links_soa(op.links)
+        intra = _intra_soa(op.links,
+                           jnp.asarray(_link_intra_mask(geom), dtype=rdtype))
+        par = (np.indices(geom.lattice).sum(axis=0) % 2 == 0).astype(np.float64)
+        return cls(
+            links=links, links_intra=intra,
+            clover=clover, clover_inv=clover_inv,
+            cdiag=cdiag, coff=coff,
+            cdiag_inv=cdiag_inv, coff_inv=coff_inv,
+            even=fast.lattice_mask_to_soa(par, rdtype),
+            odd=fast.lattice_mask_to_soa(1.0 - par, rdtype),
+            geom=geom, use_pallas=bool(use_pallas))
+
     # --- operator interface ---
 
     @property

@@ -293,6 +293,7 @@ def solver_memory_mb(solver) -> float:
             total += _tree_bytes(lvl.P)
             total += _tree_bytes(lvl.test_vectors)
             total += _tree_bytes(lvl.dense_inv)
+            total += _tree_bytes(lvl.block_inv)
             if lvl.galerkin_op is not None:
                 total += _tree_bytes(lvl.galerkin_op)
             if lvl.smoother is not None:

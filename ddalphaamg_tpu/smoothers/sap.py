@@ -107,8 +107,90 @@ def _block_schur(s, v):
     return out - s.even * s.hop_intra(t)
 
 
-def _block_solve(s, r, block_iter: int, odd_even: bool):
-    """Approximate block solve of blockD delta = r (r masked to one color)."""
+def to_blocks(v, geom):
+    """Logical field [T,Z,Y,X,*dof] -> [nblocks, block_vol * dof]."""
+    bt, bz, by, bx = geom.block
+    gt, gz, gy, gx = geom.block_grid
+    dof = int(np.prod(v.shape[4:]))
+    x = v.reshape(gt, bt, gz, bz, gy, by, gx, bx, dof)
+    x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7, 8)
+    return x.reshape(gt * gz * gy * gx, bt * bz * by * bx * dof)
+
+
+def from_blocks(x, geom, dof_shape):
+    """Inverse of to_blocks."""
+    bt, bz, by, bx = geom.block
+    gt, gz, gy, gx = geom.block_grid
+    dof = int(np.prod(dof_shape))
+    v = x.reshape(gt, gz, gy, gx, bt, bz, by, bx, dof)
+    v = v.transpose(0, 4, 1, 5, 2, 6, 3, 7, 8)
+    return v.reshape(gt * bt, gz * bz, gy * by, gx * bx, *dof_shape)
+
+
+@jax.jit
+def build_block_inverse(s):
+    """Dense inverses of the Schwarz-block-restricted operator, [nb, m, m]
+    with m = block_vol * dof.
+
+    TPU rationale: the reference's block solver is local_minres
+    (src/linsolve_generic.c:985, block_iter sweeps) because an exact block
+    solve on CPU costs O(m^3) per block per smoother call.  On TPU the
+    inverse is FACTORED ONCE (batched LU on the MXU) and every block solve
+    becomes ONE batched [nb, m, m] @ [nb, m] matvec -- measured at 28 test
+    vectors the depth-1 MinRes smoother re-streams the 462 MB packed
+    stencil ~20x per cycle (30 ms of a 33 ms cycle); the direct solve
+    reads the same bytes once per color-step AND is exact, so cycles are
+    both cheaper and stronger."""
+    geom = s.geom
+    dof_shape = _logical_dof_shape(s)
+    m = int(np.prod(geom.block)) * int(np.prod(dof_shape))
+
+    def col(k):
+        oh = jnp.zeros((m,), s.even.dtype).at[k].set(1.0)
+        nb = int(np.prod(geom.block_grid))
+        e_log = from_blocks(jnp.broadcast_to(oh, (nb, m)), geom, dof_shape)
+        e = s.from_logical(cplx.CArray(e_log, jnp.zeros_like(e_log))
+                           if cplx.is_split(s.even) else
+                           e_log.astype(s.dtype))
+        out = s.block_op(e)
+        return to_blocks(s.to_logical(out), geom)   # [nb, m]
+
+    cols = jax.lax.map(col, jnp.arange(m, dtype=jnp.int32),
+                       batch_size=min(m, 128))      # [m, nb, m]
+    M = cplx.moveaxis(cols, 0, -1)                  # [nb, m_row, m_col]
+    return cplx.inv(M)
+
+
+def _logical_dof_shape(s):
+    """Per-site dof shape of the stencil's LOGICAL layout."""
+    from ..operators.stencil import WilsonStencil, WilsonStencilSoA
+    if isinstance(s, (WilsonStencil, WilsonStencilSoA)):
+        return (4, 3)
+    from ..operators.stencil import CoarseStencilSoA
+    if isinstance(s, CoarseStencilSoA):
+        return (s.dof,)
+    return s.field_shape[4:]
+
+
+def apply_block_inverse(s, binv, r):
+    """delta = blockD^-1 r via one batched matvec (r masked to one color;
+    zero blocks stay zero)."""
+    geom = s.geom
+    dof_shape = _logical_dof_shape(s)
+    rb = to_blocks(s.to_logical(r), geom)
+    if cplx.is_split(rb) and cplx.is_split(binv) \
+            and binv.re.dtype != rb.re.dtype:
+        binv = binv.astype_real(rb.re.dtype)
+    db = cplx.einsum("bij,bj->bi", binv, rb)
+    return s.from_logical(from_blocks(db, geom, dof_shape)).astype(s.dtype)
+
+
+def _block_solve(s, r, block_iter: int, odd_even: bool, block_inv=None):
+    """Block solve of blockD delta = r (r masked to one color): exact via
+    the precomputed batched block inverse when available, else the
+    reference's approximate local MinRes / block odd-even Schur."""
+    if block_inv is not None:
+        return apply_block_inverse(s, block_inv, r)
     if not odd_even:
         return _minres(s, r, s.block_op, block_iter)
     # block odd-even Schur solve (block_solve_oddeven_PRECISION)
@@ -119,7 +201,8 @@ def _block_solve(s, r, block_iter: int, odd_even: bool):
     return s.even * d_e + d_o
 
 
-def _sweep(s, x, r, colors, cycles: int, block_iter: int, odd_even: bool):
+def _sweep(s, x, r, colors, cycles: int, block_iter: int, odd_even: bool,
+           block_inv=None):
     """cycles sweeps over the colors; lax.scan over the color sequence so
     the trace contains ONE block-solve body (plus the final step, which
     skips the residual update)."""
@@ -130,26 +213,29 @@ def _sweep(s, x, r, colors, cycles: int, block_iter: int, odd_even: bool):
 
         def step(carry, mask):
             x, r = carry
-            delta = _block_solve(s, mask * r, block_iter, odd_even)
+            delta = _block_solve(s, mask * r, block_iter, odd_even, block_inv)
             return (x + delta, r - s.full_op(delta)), None
 
         (x, r), _ = jax.lax.scan(step, (x, r), seq)
     last = colors[(steps - 1) % ncolors]
-    x = x + _block_solve(s, last * r, block_iter, odd_even)
+    x = x + _block_solve(s, last * r, block_iter, odd_even, block_inv)
     return x
 
 
 @partial(jax.jit, static_argnames=("cycles", "block_iter", "odd_even"))
-def sap_smooth(s, colors, eta, cycles: int, block_iter: int, odd_even: bool):
+def sap_smooth(s, colors, eta, cycles: int, block_iter: int, odd_even: bool,
+               block_inv=None):
     """M(eta) from zero initial guess (preconditioner application)."""
-    return _sweep(s, cplx.zeros_like(eta), eta, colors, cycles, block_iter, odd_even)
+    return _sweep(s, cplx.zeros_like(eta), eta, colors, cycles, block_iter,
+                  odd_even, block_inv)
 
 
 @partial(jax.jit, static_argnames=("cycles", "block_iter", "odd_even"))
-def sap_smooth_from(s, colors, eta, x, cycles: int, block_iter: int, odd_even: bool):
+def sap_smooth_from(s, colors, eta, x, cycles: int, block_iter: int,
+                    odd_even: bool, block_inv=None):
     """Post-smoothing with initial guess x (reference smoother _RES path)."""
     r = eta - s.full_op(x)
-    return _sweep(s, x, r, colors, cycles, block_iter, odd_even)
+    return _sweep(s, x, r, colors, cycles, block_iter, odd_even, block_inv)
 
 
 class SchwarzPreconditioner:

@@ -21,6 +21,19 @@ jax.config.update("jax_platforms", "cpu")
 # package-level cache TPU-only does not apply to a local test cache).
 _cache = os.path.expanduser("~/.cache/ddalphaamg_tpu/xla-cpu-tests")
 os.makedirs(_cache, exist_ok=True)
+
+# Pre-seed an empty cache from the committed warm-cache tarball
+# (scripts/make_test_cache_seed.sh regenerates it): a cold ~/.cache pays
+# multi-minute XLA:CPU compiles per big program and the suite cannot fit a
+# 10-minute certification budget without it.  Stale entries are harmless
+# (cache misses just recompile); the seed is machine-family-specific AOT
+# code, regenerated whenever kernels change.
+_seed = os.path.join(os.path.dirname(__file__), "cache_seed.tar.zst")
+if not os.listdir(_cache) and os.path.exists(_seed):
+    import subprocess
+    subprocess.run(["tar", "--zstd", "-xf", _seed, "-C", _cache],
+                   check=False)
+
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

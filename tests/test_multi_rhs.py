@@ -38,6 +38,7 @@ def _rand_logical(seed):
     return a.astype(np.complex64)
 
 
+@pytest.mark.slow
 def test_inner_restart_batch_matches_single(conf4):
     """inner_restart_batch (vmapped device restarts) is lane-for-lane the
     single-RHS inner_restart: vmap of the early-exit GCR freezes converged
@@ -70,6 +71,7 @@ def test_inner_restart_batch_matches_single(conf4):
                                atol=2e-5)
 
 
+@pytest.mark.slow
 def test_solve_multi_batched_df_path(conf4, monkeypatch):
     """solve_multi on the production (double-float, device-restart) path:
     forced split representation on CPU (DDAAMG_FORCE_SPLIT) drives exactly

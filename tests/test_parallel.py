@@ -196,6 +196,7 @@ def test_sharded_solve_iteration_parity(op8, mesh):
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_mesh_coarsest_direct_parity(conf4, monkeypatch):
     """coarsest_direct (precomputed Schur dense inverse) under the sharded
     production stack: the replicated coarsest level's inverse builds and

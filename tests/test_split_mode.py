@@ -120,6 +120,7 @@ def test_soa_fine_layout_iteration_parity(conf4):
                                np.asarray(results["logical"].x), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_coarse_soa_layout_parity(conf8):
     """3-level MG with the dof-major coarse layout (CoarseStencilSoA, the
     reference AoSoA analog) is numerically identical to the site-major
