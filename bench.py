@@ -416,6 +416,9 @@ def bench_lat32():
     from ddalphaamg_tpu import api, config, tools
 
     lat = (32, 32, 32, 32)
+    # HBM at 32^4 is tight (hierarchy ~11 GB resident): cap the inner GCR
+    # basis pair at ~6 vectors (1.2 GB) unless the caller overrides
+    os.environ.setdefault("DDAAMG_INNER_BASIS_BUDGET", "80000000")
     p = _solver_params("ones", tv=(8, 8), setup=(2, 2), lat=lat)
     solver = api.Solver(p)
     U = tools.rough_su3(lat, seed=0).copy()
@@ -424,6 +427,9 @@ def bench_lat32():
     t0 = time.perf_counter()
     solver.setup()
     setup_s = time.perf_counter() - t0
+    # release setup-only arrays: at 32^4 the full hierarchy leaves no HBM
+    # headroom for the solve workspace
+    solver.slim_for_solve()
     rhs = config.make_rhs("ones", lat, seed=5)
     x, info = solver.solve(rhs)           # cold
     cold_s = info.solve_time

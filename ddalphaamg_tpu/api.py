@@ -489,6 +489,22 @@ class Solver:
         if getattr(self, "_df_multi_fns", None) is None \
                 or self._df_multi_fns[0] != (lat, id(self.mg)):
             residual, extract_r32, axpy = dfm.build_outer_fns(lat)
+            big_lat = int(np.prod(lat)) > 200_000
+            if big_lat:
+                # build_outer_fns' large-lattice residual is a CHAIN of
+                # jitted programs (clover + one per hop direction) so its
+                # df temporaries fit the free HBM; wrapping it in one
+                # jit+vmap would re-fuse it -- batch by python lane loop
+                # (B is 1 on the memory-tight path anyway)
+                def residual_b_big(w, bb, xx):
+                    outs = [residual(
+                        w,
+                        jax.tree_util.tree_map(lambda a: a[i], bb),
+                        jax.tree_util.tree_map(lambda a: a[i], xx))
+                        for i in range(bb.re.hi.shape[0])]
+                    rs = jax.tree_util.tree_map(
+                        lambda *a: jnp.stack(a), *[o[0] for o in outs])
+                    return rs, jnp.stack([o[1] for o in outs])
 
             # ONE device program per outer restart: df true residual ->
             # per-lane relative residual and inner target -> inner GCR
@@ -513,6 +529,7 @@ class Solver:
 
             self._df_multi_fns = (
                 (lat, id(self.mg)),
+                residual_b_big if big_lat else
                 jax.jit(jax.vmap(residual, in_axes=(None, 0, 0))),
                 jax.jit(jax.vmap(extract_r32)),
                 jax.jit(jax.vmap(axpy)),
@@ -558,17 +575,49 @@ class Solver:
         tol32 = jnp.float32(tol)
         clip32 = jnp.float32(clip)
 
+        # huge volumes: run the phases as SEPARATE dispatches -- the fused
+        # step's combined workspace (df residual temps + inner GCR bases +
+        # cycle) does not fit next to the 32^4 hierarchy's ~8 GB resident
+        # set; the extra ~4 dispatches/restart are noise at this scale
+        fused = n_dof <= 200_000 * 12
+
         it_handles = []
         resvec = []
         relres = np.ones(B)
         converged = np.zeros(B, bool)
         for restart in range(p.max_restarts):
-            # ONE dispatch: df residual + per-lane targets + inner GCR +
-            # df update; ONE scalar fetch: the pre-step relative residuals
-            x, rel, it, cit = step_b(data, wdf, b_cdf, x, nb_dev,
-                                     tol32, clip32, m=m_cap)
-            it_handles.append((it, cit))
-            relres = np.asarray(host_array(rel), np.float64)
+            if fused:
+                # ONE dispatch: df residual + per-lane targets + inner GCR
+                # + df update; ONE fetch: the pre-step relative residuals
+                x, rel, it, cit = step_b(data, wdf, b_cdf, x, nb_dev,
+                                         tol32, clip32, m=m_cap)
+                it_handles.append((it, cit))
+                relres = np.asarray(host_array(rel), np.float64)
+            else:
+                r_cdf, rn2 = residual_b(wdf, b_cdf, x)
+                arr = np.asarray(host_array(rn2))
+                nr = np.sqrt(np.maximum(arr[:, 0] + arr[:, 1], 0.0))
+                relres = nr / norm_b
+                if (relres < tol).all():
+                    resvec.append(relres.copy())
+                    converged = relres < tol
+                    break
+                rel_target = np.where(
+                    relres < tol, 2.0,
+                    np.maximum(tol * norm_b / np.maximum(nr, 1e-300), clip))
+                rb = extract_b(r_cdf)
+                del r_cdf
+                if B == 1:
+                    # Pallas cycle views (slim_for_solve may have dropped
+                    # the batched einsum views' clover arrays)
+                    z1, it, cit = self.mg.inner_restart(
+                        rb[0], float(rel_target[0]), m=m_cap)
+                    zc = jax.tree_util.tree_map(lambda a: a[None], z1)
+                else:
+                    zc, it, cit = self.mg.inner_restart_batch(
+                        rb, rel_target, m=m_cap)
+                x = axpy_b(x, zc)
+                it_handles.append((it, cit))
             resvec.append(relres.copy())
             converged = relres < tol
             if converged.all():
@@ -659,19 +708,39 @@ class Solver:
         r = b64 - device_get_complex(self.apply_operator(x64))
         return float(np.linalg.norm(r) / np.linalg.norm(b64))
 
+    def slim_for_solve(self):
+        """HBM-tight very large problems (32^4 on one 16 GB chip): release
+        everything not needed for df-path SOLVES -- the multigrid's
+        setup-only arrays (Multigrid.slim_for_solve) and the logical fine
+        operator (the df outer loop uses the double-float operator built
+        from the host copy).  setup()/set_conf() restore full function."""
+        if self.mg is not None:
+            self.mg.slim_for_solve()
+        self.op = None
+
     def solve(self, rhs=None, tol: Optional[float] = None,
               x0=None) -> tuple[np.ndarray, SolveInfo]:
         """Solve D x = rhs (reference dd_alpha_amg_wilson_solve /
         solve_driver)."""
-        assert self.op is not None
+        assert self.op is not None or (
+            self.mg is not None and self._U_host is not None), \
+            "call set_conf first"
         p = self.p
         tol = tol if tol is not None else p.tol
         if rhs is None:
             rhs = make_rhs(p.right_hand_side, self.lattice, seed=p.seed)
-        b = device_put_complex(rhs, dtype=default_complex_dtype())
-        if self.mesh is not None:
-            from . import parallel
-            b = parallel.shard_field(self.mesh, b, self.lattice)
+        use_df = (self.mg is not None and self._U_host is not None
+                  and default_split()
+                  and not os.environ.get("DDAAMG_HOST_OUTER"))
+        b = None
+        if p.method == -1 or not use_df:
+            # the df production path builds its own double-float device rhs
+            # from the numpy array; this logical-layout copy would be dead
+            # weight (0.8 GB at 32^4)
+            b = device_put_complex(rhs, dtype=default_complex_dtype())
+            if self.mesh is not None:
+                from . import parallel
+                b = parallel.shard_field(self.mesh, b, self.lattice)
 
         if self.mg is not None:
             self.mg.stats["coarse_iterations"] = 0

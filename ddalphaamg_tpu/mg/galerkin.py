@@ -35,7 +35,7 @@ from ..operators.wilson import (
     dslash_fwd,
     dslash_hopping,
 )
-from .interpolation import Aggregation, assemble_basis, restrict
+from .interpolation import Aggregation, assemble_basis, basis_column, restrict
 
 
 def _agg_face_masks(lattice, coarsening):
@@ -78,7 +78,32 @@ def build_coarse_operator(op, agg: Aggregation, P: jnp.ndarray) -> CoarseOperato
     raise TypeError(type(op))
 
 
-def galerkin_piece(op, agg: Aggregation, P, kind: str, mu: int = 0):
+def _make_columns(agg: Aggregation, P, dof_shape, static_cols: bool):
+    """columns(apply_fn) -> [Tc.., 2N(row), 2N(col)] coupling block.
+
+    static_cols=True: assemble + apply + restrict per STATICALLY-unrolled
+    basis column -- one live fine field per step, static P slices (the
+    large-lattice form: the stacked-B buffer is 3 GB after XLA's 4x lane
+    padding at 32^4, and a traced column index relayout-copies P at 8x
+    padding).  static_cols=False: lax.map over the materialized basis --
+    a small trace (the 16^4 fused one-program resetup would otherwise
+    inline 9 pieces x 2N bodies)."""
+    if static_cols:
+        def columns(apply_fn):
+            return cplx.stack(
+                [restrict(agg, P, apply_fn(basis_column(agg, P, dof_shape, q)))
+                 for q in range(2 * agg.num_vectors)], axis=-1)
+    else:
+        B = assemble_basis(agg, P, dof_shape)
+
+        def columns(apply_fn):
+            return cplx.moveaxis(
+                _map(lambda b: restrict(agg, P, apply_fn(b)), B), 0, -1)
+    return columns
+
+
+def galerkin_piece(op, agg: Aggregation, P, kind: str, mu: int = 0,
+                   static_cols: bool = False):
     """ONE coupling block of D_c: kind "A" (self), "Df"/"Db" (directional).
 
     The chunkable unit for large lattices: the whole-operator build as a
@@ -87,17 +112,39 @@ def galerkin_piece(op, agg: Aggregation, P, kind: str, mu: int = 0):
     plus one fine field."""
     if isinstance(op, WilsonOperator):
         dof_shape = (4, 3)
-        rdtype = (op.links.re.dtype if cplx.is_split(op.links)
-                  else op.links.real.dtype)
-        up, _ = _agg_face_masks(agg.fine_lattice, agg.coarsening)
-        up = jnp.asarray(up, dtype=rdtype)
-        B = assemble_basis(agg, P, dof_shape)
+        split = cplx.is_split(op.links)
+        rdtype = op.links.re.dtype if split else op.links.real.dtype
+        up_np, _ = _agg_face_masks(agg.fine_lattice, agg.coarsening)
+        columns = _make_columns(agg, P, dof_shape, static_cols)
 
-        def columns(apply_fn):
-            # apply + restrict fused per basis vector: one live fine field
-            return cplx.moveaxis(
-                _map(lambda b: restrict(agg, P, apply_fn(b)), B), 0, -1)
+        if static_cols and split:
+            # large-lattice path: the LOGICAL link layout's [..., 3, 3]
+            # minor dims tile-pad ~57x on TPU (one sliced link copy = 2 GB
+            # at 32^4); run the piece applies in the dof-major SoA layout
+            from ..operators import fast
+            lattice = agg.fine_lattice
+            roll = fast.make_rollers(lattice, rdtype)
 
+            def wrap(fn):
+                return lambda b: fast.spinor_from_soa(
+                    fn(fast.spinor_to_soa(b)), lattice)
+
+            if kind == "A_self":
+                clov_soa = fast.clover_to_soa(op.clover)
+                return columns(wrap(
+                    lambda b: fast.clover_apply_soa(clov_soa, b)))
+            face = kind in ("Df", "Db")
+            msel = up_np if face else (1.0 - up_np)
+            mask = fast.lattice_mask_to_soa(
+                np.ascontiguousarray(msel[mu, ..., 0, 0]), rdtype)
+            lmu = fast.links_to_soa(op.links)[mu] * mask
+            part = ("f",) if kind in ("A_fwd", "Df") else ("b",)
+            lst = [lmu] * 4   # python list: only links[mu] is read, no copy
+            return columns(wrap(
+                lambda b: fast.dslash_hopping_soa(lst, b, roll,
+                                                  dirs=(mu,), parts=part)))
+
+        up = jnp.asarray(up_np, dtype=rdtype)
         if kind == "A":
             links_intra = op.links * (1.0 - up)
             return columns(lambda b: clover_apply(op.clover, b)
@@ -121,23 +168,32 @@ def galerkin_piece(op, agg: Aggregation, P, kind: str, mu: int = 0):
     up, lo = _agg_face_masks(agg.fine_lattice, agg.coarsening)
     up = jnp.asarray(up, dtype=rdtype)
     lo = jnp.asarray(lo, dtype=rdtype)
-    B = assemble_basis(agg, P, dof_shape)
 
-    def columns(apply_fn):
-        return cplx.moveaxis(
-            _map(lambda b: restrict(agg, P, apply_fn(b)), B), 0, -1)
+    columns = _make_columns(agg, P, dof_shape, static_cols)
 
     if kind == "A":
         Df_intra, Db_intra = cop.Df * (1.0 - up), cop.Db * (1.0 - lo)
         return columns(lambda b: cplx.einsum("...ij,...j->...i", cop.A, b)
                        + coarse_hop(Df_intra, Db_intra, b))
-    if kind == "Df":
-        face = cop.Df * up
+    # single-direction pieces mask only the selected direction: masking the
+    # full [4, lat, d, d] array pads 8x per copy (2 GB at a 16^4 d=16 level)
+    if kind == "A_self":
+        return columns(lambda b: cplx.einsum("...ij,...j->...i", cop.A, b))
+    if kind == "A_fwd":
+        blk = cop.Df[mu] * (1.0 - up[mu])
         return columns(lambda b: cplx.einsum(
-            "...ij,...j->...i", face[mu], cplx.roll(b, -1, mu)))
-    face = cop.Db * lo
+            "...ij,...j->...i", blk, cplx.roll(b, -1, mu)))
+    if kind == "A_bwd":
+        blk = cop.Db[mu] * (1.0 - lo[mu])
+        return columns(lambda b: cplx.einsum(
+            "...ij,...j->...i", blk, cplx.roll(b, 1, mu)))
+    if kind == "Df":
+        blk = cop.Df[mu] * up[mu]
+        return columns(lambda b: cplx.einsum(
+            "...ij,...j->...i", blk, cplx.roll(b, -1, mu)))
+    blk = cop.Db[mu] * lo[mu]
     return columns(lambda b: cplx.einsum(
-        "...ij,...j->...i", face[mu], cplx.roll(b, 1, mu)))
+        "...ij,...j->...i", blk, cplx.roll(b, 1, mu)))
 
 
 def _from_wilson(op: WilsonOperator, agg: Aggregation, P: jnp.ndarray) -> CoarseOperator:

@@ -73,7 +73,7 @@ def _interp_kernel(stencil, tvs, agg, n: int):
 @partial(jax.jit, static_argnames=("agg", "kind", "mu"))
 def _galerkin_piece_kernel(op_galerkin, P, agg, kind: str, mu: int):
     from .galerkin import galerkin_piece
-    return galerkin_piece(op_galerkin, agg, P, kind, mu)
+    return galerkin_piece(op_galerkin, agg, P, kind, mu, static_cols=True)
 
 
 @partial(jax.jit, static_argnames=("geom", "soa", "layout"))
@@ -87,28 +87,44 @@ def _coarse_stencil_kernel(cop, geom, soa: bool, layout: str):
 def _resetup_any(stencil, op_galerkin, tvs, agg, geom, n: int,
                  soa: bool = False, layout: str = "t"):
     """One coarsening rebuild: the fused single-program _resetup_kernel on
-    ordinary volumes; on LARGE lattices (> 200k sites) the interpolation,
-    each of the nine Galerkin coupling pieces, and the coarse stencil run
-    as separate programs -- the fused build's live set is ~66 GB at 32^4."""
-    if int(np.prod(agg.fine_lattice)) <= 200_000:
+    ordinary volumes; on LARGE levels the interpolation, each of the nine
+    Galerkin coupling pieces, and the coarse stencil run as separate
+    programs -- the fused build's live set is ~66 GB at 32^4.
+
+    "Large" is judged by the TILE-PADDED size of one masked operator
+    coupling array inside the fused program (XLA pads the [.., d, d]-minor
+    logical blocks to (8, 128) tiles: 8x at d=16): the fused program holds
+    a handful of them.  16^4 fine (d=12) and 8^4 d=56 coarse levels stay
+    fused (the measured-good r3 paths); 32^4 fine and 16^4 d=16 coarse go
+    piece-wise."""
+    sites = int(np.prod(agg.fine_lattice))
+    if isinstance(op_galerkin, WilsonOperator):
+        big = sites > 200_000                      # 32^4 fine; 16^4 is fine
+    else:
+        d = int(op_galerkin.A.shape[-1])
+        big = sites * ((d + 7) // 8 * 8) * 128 * 8 > 500_000_000
+    if not big:
         return _resetup_kernel(stencil, op_galerkin, tvs, agg, geom, n,
                                soa=soa, layout=layout)
     P = _interp_kernel(stencil, tvs, agg, n)
-    if isinstance(op_galerkin, WilsonOperator):
-        # the fine "A" piece (clover + 8 intra hop directions in one
-        # program) still demands 36 GB at 32^4: one direction per program
-        A = _galerkin_piece_kernel(op_galerkin, P, agg, "A_self", 0)
-        for mu in range(4):
-            A = A + _galerkin_piece_kernel(op_galerkin, P, agg, "A_fwd", mu)
-            A = A + _galerkin_piece_kernel(op_galerkin, P, agg, "A_bwd", mu)
-    else:
-        A = _galerkin_piece_kernel(op_galerkin, P, agg, "A", 0)
+    # the "A" piece as one program (self + 8 hop directions) still demands
+    # 36 GB at 32^4: one direction per program
+    A = _galerkin_piece_kernel(op_galerkin, P, agg, "A_self", 0)
+    for mu in range(4):
+        A = A + _galerkin_piece_kernel(op_galerkin, P, agg, "A_fwd", mu)
+        A = A + _galerkin_piece_kernel(op_galerkin, P, agg, "A_bwd", mu)
     Df = cplx.stack([_galerkin_piece_kernel(op_galerkin, P, agg, "Df", mu)
                      for mu in range(4)])
     Db = cplx.stack([_galerkin_piece_kernel(op_galerkin, P, agg, "Db", mu)
                      for mu in range(4)])
     from ..operators.coarse import CoarseOperator
     cop = CoarseOperator(A=A, Df=Df, Db=Db)
+    d = A.shape[-1]
+    if soa and int(np.prod(geom.lattice)) * d * d > 16_000_000:
+        # big coarse level: the one-program pack/inverse build tile-pads
+        # its [.., d, d]-minor intermediates 8x (4.5 GB at 16^4 d=16)
+        from ..operators.stencil import CoarseStencilSoA
+        return P, CoarseStencilSoA.build_chunked(cop, geom, layout=layout)
     return P, _coarse_stencil_kernel(cop, geom, soa, layout)
 
 
@@ -956,6 +972,38 @@ class Multigrid:
             sub = max(1, round(level.next.cfg.setup_iter * setup_iter
                                / max(1, level.cfg.setup_iter)))
             self._inv_iter_fcycle(level.next, sub)
+
+    def slim_for_solve(self):
+        """Release arrays a finished hierarchy does not need for SOLVES,
+        for HBM-tight very large problems (the 32^4 single-chip ladder
+        step: ~15 GB resident after setup leaves no trace/workspace
+        headroom).  Drops: test vectors (only future setup iterations read
+        them), the fine stencil's einsum-view clover pair (the Pallas path
+        reads the packed form; batched multi-RHS einsum views are
+        unavailable afterwards), and replaces coarse stencils with their
+        bf16-compressed cycle views (coarse_block_bf16).  After this,
+        update_setup()/re_setup are invalid until a fresh setup()."""
+        import gc
+        for lvl in self._levels():
+            lvl.test_vectors = None
+            lvl.galerkin_op = None
+            if isinstance(lvl.stencil, WilsonStencilSoA) \
+                    and lvl.stencil.use_pallas:
+                lvl.stencil = dataclasses.replace(
+                    lvl.stencil, clover=None, clover_inv=None)
+                if lvl.smoother is not None:
+                    lvl.smoother.replace_stencil(lvl.stencil)
+            if lvl.cycle_stencil is not None:
+                lvl.stencil = lvl.cycle_stencil[1]
+                lvl.cycle_stencil = (lvl.stencil, lvl.stencil)
+                if lvl.smoother is not None:
+                    lvl.smoother.replace_stencil(lvl.stencil)
+        # drop cached setup jits: their closures/constvars pin device
+        # arrays from the build phase
+        self._setup_batch_jit = None
+        self._2lvl_jit = None
+        jax.clear_caches()
+        gc.collect()
 
     def shift_update(self, delta: float):
         """O(1) mass-shift propagation through the whole hierarchy

@@ -15,7 +15,7 @@ Both are the "first half / second half of the site dof" rule, so one generic
 implementation covers every level: fields enter in "chiral view"
 [T,Z,Y,X, 2, dpc] (dpc = dof per chirality).
 
-TPU realization: P is dense P[Tc,Zc,Yc,Xc, 2, m, N], m = agg_volume * dpc;
+TPU realization: P is dense P[Tc,Zc,Yc,Xc, 2, N, m], m = agg_volume * dpc;
 orthonormalization is one batched QR; restrict/interpolate are batched
 [m, N] matmuls over all (coarse site, chirality) pairs -- MXU work, no index
 tables (contrast the reference's aggregate site loops).
@@ -96,24 +96,30 @@ def build_interpolation(agg: Aggregation, test_vectors: jnp.ndarray) -> jnp.ndar
     """Block-orthonormalize test vectors per (aggregate, chirality).
 
     test_vectors: [N, T,Z,Y,X, *dof]
-    returns P: [Tc,Zc,Yc,Xc, 2, m, N] with orthonormal columns per (site, chir).
-    """
+    returns P: [Tc,Zc,Yc,Xc, 2, N, m] with orthonormal ROWS per (site, chir).
+
+    Layout note: the rows-last form keeps m (= agg_volume * dpc, 96-class)
+    as the minor axis.  The columns-last form [.., m, N] puts N in the
+    lane dimension and XLA:TPU pads it to 128 -- at 32^4 with N=8 the
+    stored P ballooned 16x to ~12 GB of HBM (measured; the root cause of
+    the 32^4 ladder step's OOMs)."""
     cols = cplx.stack([to_aggregates(agg, test_vectors[k])
                        for k in range(agg.num_vectors)], axis=-1)
-    return cplx.block_qr(cols)  # batched thin QR: [.., 2, m, N]
+    q = cplx.block_qr(cols)              # [.., 2, m, N], orthonormal cols
+    return cplx.moveaxis(q, -1, -2)      # -> [.., 2, N, m]
 
 
 def restrict(agg: Aggregation, P: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """v_c = P^H v:  [T,Z,Y,X, *dof] -> [Tc,Zc,Yc,Xc, 2N]."""
     x = to_aggregates(agg, v)
-    out = cplx.einsum("...cmk,...cm->...ck", cplx.conj(P), x)
+    out = cplx.einsum("...ckm,...cm->...ck", cplx.conj(P), x)
     return out.reshape(*agg.coarse_lattice, 2 * agg.num_vectors)
 
 
 def interpolate(agg: Aggregation, P: jnp.ndarray, v_c: jnp.ndarray, dof_shape) -> jnp.ndarray:
     """v = P v_c:  [Tc,Zc,Yc,Xc, 2N] -> fine field with dof_shape."""
     vc = v_c.reshape(*agg.coarse_lattice, 2, agg.num_vectors)
-    x = cplx.einsum("...cmk,...ck->...cm", P, vc)
+    x = cplx.einsum("...ckm,...ck->...cm", P, vc)
     return from_aggregates(agg, x, dof_shape)
 
 
@@ -122,23 +128,26 @@ def assemble_basis(agg: Aggregation, P: jnp.ndarray, dof_shape) -> jnp.ndarray:
     B[c*N+k] = P e_{c,k} on every aggregate simultaneously.
     Shape: [2N, T,Z,Y,X, *dof].  Input to the Galerkin triple product.
 
-    Built column-by-column (lax.map): the padded stack-and-concat form
-    materialized ~5 P-sized intermediates at once -- at 32^4 that is ~8 GB
-    of transient HBM inside every Galerkin piece program."""
+    Built column-by-column (lax.map over basis_column): the padded
+    stack-and-concat form materialized ~5 P-sized intermediates at once --
+    at 32^4 that is ~8 GB of transient HBM inside every Galerkin piece
+    program.  For LARGE lattices prefer looping basis_column directly
+    (galerkin_piece does) so no [2N, fine-field] buffer exists at all:
+    XLA pads fine-field lane dims 4x at 32^4."""
+    return cplx.stack([basis_column(agg, P, dof_shape, q)
+                       for q in range(2 * agg.num_vectors)])
+
+
+def basis_column(agg: Aggregation, P, dof_shape, q: int):
+    """ONE globally-assembled coarse basis vector B[q] = P e_{c,k}
+    (q = c*N + k) as a fine field.  q must be STATIC: a traced q makes the
+    column extraction a dynamic gather over P's minor axes, for which XLA
+    relayouts P into lane-padded copies (measured 2 x 3 GB, 8x padding, at
+    32^4); static slicing is a free view."""
     N = agg.num_vectors
-
-    def one(q):
-        c, k = q // N, q % N
-        rd = P.re.dtype if cplx.is_split(P) else None
-        col0 = P[..., 0, :, k]
-        col1 = P[..., 1, :, k]
-        if rd is not None:
-            m0 = (c == 0).astype(rd)
-            m1 = (c == 1).astype(rd)
-        else:
-            m0 = (c == 0).astype(P.real.dtype)
-            m1 = (c == 1).astype(P.real.dtype)
-        col = cplx.stack([col0 * m0, col1 * m1], axis=-2)
-        return from_aggregates(agg, col, dof_shape)
-
-    return jax.lax.map(one, jnp.arange(2 * N))
+    c, k = divmod(int(q), N)
+    col_p = P[..., c, k, :]
+    z = cplx.zeros_like(col_p) if cplx.is_split(col_p) else jnp.zeros_like(col_p)
+    col = cplx.stack([col_p if c == 0 else z, col_p if c == 1 else z],
+                     axis=-2)
+    return from_aggregates(agg, col, dof_shape)

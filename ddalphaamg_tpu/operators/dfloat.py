@@ -34,7 +34,11 @@ import numpy as np
 from .. import cplx
 from ..gamma import get_basis
 
-_SPLITTER = jnp.float32(4097.0)  # 2^12 + 1 (f32: 24-bit significand)
+# 2^12 + 1 (f32: 24-bit significand).  NUMPY scalar, not jnp: a module-
+# level device scalar gets captured as a committed constant in every jit
+# that touches df arithmetic, and lowering then fetches it d2h -- which
+# fails outright when the device is memory-tight (measured at 32^4).
+_SPLITTER = np.float32(4097.0)
 
 
 # ---------------------------------------------------------------------------
@@ -206,8 +210,11 @@ def make_rollers_df(lattice):
     last[:, xn - 1] = True
     first = np.zeros((y, xn), dtype=bool)
     first[:, 0] = True
-    mask_last = jnp.asarray(last.reshape(y * xn))
-    mask_first = jnp.asarray(first.reshape(y * xn))
+    # NUMPY masks: device-array closures become program constants that jax
+    # must fetch d2h at trace time -- on a full device even that staging
+    # copy dies with ResourceExhausted (measured at 32^4)
+    mask_last = last.reshape(y * xn)
+    mask_first = first.reshape(y * xn)
 
     def roll(a: CDF, shift, mu):
         if mu == 0:
@@ -295,9 +302,12 @@ def _stack_soa(rows, like: CDF) -> CDF:
                DF(st(lambda r: r.im.hi), st(lambda r: r.im.lo)))
 
 
-def dslash_hopping_df(links: CDF, phi: CDF, roll, basis_name=None) -> CDF:
+def dslash_hopping_df(links: CDF, phi: CDF, roll, basis_name=None,
+                      dirs=(0, 1, 2, 3)) -> CDF:
     """Hopping term in double-float; mirrors fast.dslash_hopping_soa
-    (same reference conventions, src/dirac_generic.c:159-278)."""
+    (same reference conventions, src/dirac_generic.c:159-278).  `dirs`
+    restricts to a direction subset (the per-direction residual programs
+    for memory-tight large lattices)."""
     basis = get_basis(basis_name) if basis_name else get_basis()
     co, val = basis.co, basis.val
     eta = [[None] * 3 for _ in range(4)]
@@ -306,7 +316,7 @@ def dslash_hopping_df(links: CDF, phi: CDF, roll, basis_name=None) -> CDF:
         c = contrib if sign > 0 else -contrib
         eta[s][a] = c if eta[s][a] is None else eta[s][a] + c
 
-    for mu in range(4):
+    for mu in dirs:
         u = _idx(links, mu)  # [3,3,T,Z,M]
         # forward: -U (1 - gamma) phi(x+mu)
         phi_f = roll(phi, -1, mu)
@@ -405,12 +415,38 @@ def build_outer_fns(lattice):
     from . import fast
 
     roll = make_rollers_df(lattice)
+    big = int(np.prod(lattice)) > 200_000
 
-    @jax.jit
-    def residual(wdf: WilsonDF, b_cdf: CDF, x_cdf: CDF):
-        r = b_cdf - d_plus_clover_df(wdf, x_cdf, roll)
-        n2 = norm2_df(r)
-        return r, jnp.stack([n2.hi, n2.lo])
+    if not big:
+        @jax.jit
+        def residual(wdf: WilsonDF, b_cdf: CDF, x_cdf: CDF):
+            r = b_cdf - d_plus_clover_df(wdf, x_cdf, roll)
+            n2 = norm2_df(r)
+            return r, jnp.stack([n2.hi, n2.lo])
+    else:
+        # large lattices: the one-program residual's df-expanded temporaries
+        # (each spinor intermediate is 4 f32 planes) exceed the free HBM
+        # next to the resident hierarchy; run clover + each hop direction +
+        # the norm as separate programs with a df-accumulated r
+        @jax.jit
+        def _res_clover(wdf: WilsonDF, b_cdf: CDF, x_cdf: CDF):
+            return b_cdf - clover_apply_df(wdf.clover, x_cdf)
+
+        @functools.partial(jax.jit, static_argnames=("mu",))
+        def _res_hop(wdf: WilsonDF, acc: CDF, x_cdf: CDF, mu: int):
+            return acc - dslash_hopping_df(wdf.links, x_cdf, roll,
+                                           dirs=(mu,))
+
+        @jax.jit
+        def _res_norm(r: CDF):
+            n2 = norm2_df(r)
+            return jnp.stack([n2.hi, n2.lo])
+
+        def residual(wdf: WilsonDF, b_cdf: CDF, x_cdf: CDF):
+            r = _res_clover(wdf, b_cdf, x_cdf)
+            for mu in range(4):
+                r = _res_hop(wdf, r, x_cdf, mu)
+            return r, _res_norm(r)
 
     @jax.jit
     def extract_r32(r_cdf: CDF):

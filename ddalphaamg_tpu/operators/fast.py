@@ -159,8 +159,12 @@ def _phase_rows(val: complex, row: cplx.CArray, sign: float = 1.0):
     return cplx.phase_mul(val, row, sign)
 
 
-def dslash_hopping_soa(links, phi, roll, basis_name=None, dirs=(T, Z, Y, X)):
-    """Hopping term on SoA fields; identical math to wilson.dslash_hopping."""
+def dslash_hopping_soa(links, phi, roll, basis_name=None, dirs=(T, Z, Y, X),
+                       parts=("f", "b")):
+    """Hopping term on SoA fields; identical math to wilson.dslash_hopping.
+    parts selects the forward ("f": -U (1-gamma) phi(x+mu)) and/or backward
+    ("b": -U^H(x-mu) (1+gamma) phi(x-mu)) halves -- the Galerkin face
+    pieces need them separately (galerkin_piece "Df"/"Db")."""
     basis = get_basis(basis_name) if basis_name else get_basis()
     co, val = basis.co, basis.val
     eta_r = [[0.0] * 3 for _ in range(4)]
@@ -176,47 +180,49 @@ def dslash_hopping_soa(links, phi, roll, basis_name=None, dirs=(T, Z, Y, X)):
 
     for mu in dirs:
         u = links[mu]  # [3,3,T,Z,M]
-        # ---- forward: -U (1 - gamma) phi(x+mu) ----
-        phi_f = roll(phi, -1, mu)
-        # project rows 0,1: h[s] = phi_f[s] - val[mu,s] phi_f[co[mu,s]]
-        h = [phi_f[s] - _phase_rows(val[mu, s], phi_f[int(co[mu, s])])
-             for s in (0, 1)]  # each [3,T,Z,M]
-        # U h  (color matvec, rows 0,1)
-        hf = []
-        for s in (0, 1):
-            for a in range(3):
-                acc = None
-                for b in range(3):
-                    term = cplx.cmul(u[a, b], h[s][b])
-                    acc = term if acc is None else acc + term
-                hf.append(acc)
-        # lift: rows 0,1: -=; rows 2,3: += val[mu,s]*hf[co[mu,s]]
-        for s in (0, 1):
-            for a in range(3):
-                add(s, a, hf[3 * s + a], -1.0)
-        for s in (2, 3):
-            cs = int(co[mu, s])
-            for a in range(3):
-                add(s, a, _phase_rows(val[mu, s], hf[3 * cs + a]), +1.0)
+        if "f" in parts:
+            # ---- forward: -U (1 - gamma) phi(x+mu) ----
+            phi_f = roll(phi, -1, mu)
+            # project rows 0,1: h[s] = phi_f[s] - val[mu,s] phi_f[co[mu,s]]
+            h = [phi_f[s] - _phase_rows(val[mu, s], phi_f[int(co[mu, s])])
+                 for s in (0, 1)]  # each [3,T,Z,M]
+            # U h  (color matvec, rows 0,1)
+            hf = []
+            for s in (0, 1):
+                for a in range(3):
+                    acc = None
+                    for b in range(3):
+                        term = cplx.cmul(u[a, b], h[s][b])
+                        acc = term if acc is None else acc + term
+                    hf.append(acc)
+            # lift: rows 0,1: -=; rows 2,3: += val[mu,s]*hf[co[mu,s]]
+            for s in (0, 1):
+                for a in range(3):
+                    add(s, a, hf[3 * s + a], -1.0)
+            for s in (2, 3):
+                cs = int(co[mu, s])
+                for a in range(3):
+                    add(s, a, _phase_rows(val[mu, s], hf[3 * cs + a]), +1.0)
 
-        # ---- backward: -U^H(x-mu) (1 + gamma) phi(x-mu) ----
-        hb_in = [phi[s] + _phase_rows(val[mu, s], phi[int(co[mu, s])])
-                 for s in (0, 1)]
-        hb = []
-        for s in (0, 1):
-            for a in range(3):
-                acc = None
-                for b in range(3):
-                    term = cplx.cmul(cplx.conj(u[b, a]), hb_in[s][b])
-                    acc = term if acc is None else acc + term
-                hb.append(roll(acc, 1, mu))
-        for s in (0, 1):
-            for a in range(3):
-                add(s, a, hb[3 * s + a], -1.0)
-        for s in (2, 3):
-            cs = int(co[mu, s])
-            for a in range(3):
-                add(s, a, _phase_rows(val[mu, s], hb[3 * cs + a]), -1.0)
+        if "b" in parts:
+            # ---- backward: -U^H(x-mu) (1 + gamma) phi(x-mu) ----
+            hb_in = [phi[s] + _phase_rows(val[mu, s], phi[int(co[mu, s])])
+                     for s in (0, 1)]
+            hb = []
+            for s in (0, 1):
+                for a in range(3):
+                    acc = None
+                    for b in range(3):
+                        term = cplx.cmul(cplx.conj(u[b, a]), hb_in[s][b])
+                        acc = term if acc is None else acc + term
+                    hb.append(roll(acc, 1, mu))
+            for s in (0, 1):
+                for a in range(3):
+                    add(s, a, hb[3 * s + a], -1.0)
+            for s in (2, 3):
+                cs = int(co[mu, s])
+                for a in range(3):
+                    add(s, a, _phase_rows(val[mu, s], hb[3 * cs + a]), -1.0)
 
     sh = phi.re.shape
     out_r = jnp.stack([jnp.stack([eta_r[s][a] for a in range(3)]) for s in range(4)])

@@ -273,6 +273,56 @@ class CoarseStencilSoA:
             odd=lattice_mask_to_soa(1.0 - par, rdtype),
             geom=geom, layout=layout, use_pallas=bool(use_pallas))
 
+    @classmethod
+    def build_chunked(cls, cop: CoarseOperator, geom: Geometry, dtype=None,
+                      layout: str = "t", use_pallas=None,
+                      slab_sites: int = 2 ** 15) -> "CoarseStencilSoA":
+        """Memory-lean build for LARGE coarse levels: pack_blocks'
+        [9,T,Z,Y,X,d,d] transpose intermediate tile-pads 8x (4.5 GB at a
+        16^4 d=16 level) inside the one-program build; here packing and
+        the batched self-coupling inverse run per T-slab as separate
+        jitted programs and concatenate along the packed T axis.  Output
+        identical to build()."""
+        from . import pallas_coarse as pc
+        from .fast import lattice_mask_to_soa
+        if dtype is not None:
+            cop = cop.astype(dtype)
+        split = cplx.is_split(cop.A)
+        rdtype = cop.A.re.dtype if split else cop.A.real.dtype
+        if use_pallas is None:
+            import os
+            use_pallas = split and (jax.default_backend() == "tpu"
+                                    or bool(os.environ.get("DDAAMG_FORCE_PALLAS")))
+        t, z, y, x = geom.lattice
+        sites_per_t = z * y * x
+        tc = max(1, min(t, slab_sites // max(sites_per_t, 1)))
+        while t % tc:
+            tc -= 1
+
+        @partial(jax.jit, static_argnames=("lay",))
+        def _slab(A, Df, Db, lay):
+            Bs = cplx.concatenate([A[None], Df, Db], axis=0)
+            return pc.pack_blocks(Bs, lay), pc.pack_blocks(cplx.inv(A)[None],
+                                                           lay)
+
+        pks, pkis = [], []
+        for i in range(t // tc):
+            s = slice(i * tc, (i + 1) * tc)
+            pk, pki = _slab(cop.A[s], cop.Df[:, s], cop.Db[:, s], layout)
+            pks.append(pk)
+            pkis.append(pki)
+        Pk = cplx.concatenate(pks, axis=1)
+        Pk_inv = cplx.concatenate(pkis, axis=1)
+        fwd, bwd = intra_block_masks(geom.lattice, geom.block)
+        par = (np.indices(geom.lattice).sum(axis=0) % 2 == 0).astype(np.float64)
+        return cls(
+            Pk=Pk, Pk_inv=Pk_inv,
+            fwd_m=jnp.asarray(fwd[..., 0, 0].reshape(4, t, z, y * x), rdtype),
+            bwd_m=jnp.asarray(bwd[..., 0, 0].reshape(4, t, z, y * x), rdtype),
+            even=lattice_mask_to_soa(par, rdtype),
+            odd=lattice_mask_to_soa(1.0 - par, rdtype),
+            geom=geom, layout=layout, use_pallas=bool(use_pallas))
+
     @property
     def dtype(self):
         return self.Pk.dtype
@@ -447,7 +497,11 @@ def _transpose_any(a, axes):
 
 def _stencil_split(s) -> bool:
     """Whether a stencil stores split-complex (CArray) operands."""
-    return cplx.is_split(s.Pk if isinstance(s, CoarseStencilSoA) else s.A)
+    if isinstance(s, CoarseStencilSoA):
+        return cplx.is_split(s.Pk)
+    if isinstance(s, (WilsonStencil, WilsonStencilSoA)):
+        return cplx.is_split(s.links)
+    return cplx.is_split(s.A)
 
 
 def _add_diag(a, delta, diag_axes):

@@ -257,7 +257,7 @@ def shard_stacked_field(mesh: Mesh, tvs, lattice, soa: bool = False):
 
 
 def shard_interpolation(mesh: Mesh, Pmat, coarse_lattice):
-    """P [Tc,Zc,Yc,Xc, 2, m, N]: shard over coarse-site dims (aggregates are
+    """P [Tc,Zc,Yc,Xc, 2, N, m]: shard over coarse-site dims (aggregates are
     sharding-aligned with the fine field when coarsening divides the local
     extent), replicating any non-divisible dim."""
     return _put(Pmat, NamedSharding(mesh, site_spec(mesh, coarse_lattice, trail=3)))

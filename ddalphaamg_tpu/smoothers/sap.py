@@ -145,19 +145,28 @@ def build_block_inverse(s):
     dof_shape = _logical_dof_shape(s)
     m = int(np.prod(geom.block)) * int(np.prod(dof_shape))
 
+    from ..operators.stencil import _stencil_split
+    split = _stencil_split(s)
+
     def col(k):
         oh = jnp.zeros((m,), s.even.dtype).at[k].set(1.0)
         nb = int(np.prod(geom.block_grid))
         e_log = from_blocks(jnp.broadcast_to(oh, (nb, m)), geom, dof_shape)
         e = s.from_logical(cplx.CArray(e_log, jnp.zeros_like(e_log))
-                           if cplx.is_split(s.even) else
-                           e_log.astype(s.dtype))
+                           if split else e_log.astype(s.dtype))
         out = s.block_op(e)
         return to_blocks(s.to_logical(out), geom)   # [nb, m]
 
     cols = jax.lax.map(col, jnp.arange(m, dtype=jnp.int32),
                        batch_size=min(m, 128))      # [m, nb, m]
     M = cplx.moveaxis(cols, 0, -1)                  # [nb, m_row, m_col]
+    nb = M.shape[0]
+    if nb * m * m > 50_000_000:
+        # big levels (32^4's depth-1: 4096 blocks of m=256): the one-shot
+        # batched inverse holds several [nb, 2m, 2m] real temporaries
+        # (4 GB each) -- invert in block chunks
+        cb = max(1, min(nb, 2 ** 27 // (4 * m * m)))
+        return jax.lax.map(cplx.inv, M, batch_size=cb)
     return cplx.inv(M)
 
 

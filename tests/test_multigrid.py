@@ -42,7 +42,7 @@ def P(op4, agg):
 
 
 def test_p_orthonormal(P):
-    g = jnp.einsum("...cmi,...cmj->...cij", jnp.conj(P), P)
+    g = jnp.einsum("...cim,...cjm->...cij", jnp.conj(P), P)
     np.testing.assert_allclose(np.asarray(g),
                                np.broadcast_to(np.eye(4), g.shape), atol=1e-12)
 
