@@ -322,6 +322,11 @@ def bench_mg_solve(kind: str = "smooth", tv=(16, 16), setup=(3, 3),
         "mg_setup_iter": list(setup),
         "mg_iterations": info.iterations,
         "mg_coarse_average": round(info.coarse_average, 2),
+        # coarsest operator applications / outer iteration: comparable with
+        # the reference's coarse-grid-iteration average regardless of
+        # coarsest_direct (inverse applies counted separately)
+        "mg_coarse_matvec_average": round(info.coarse_matvec_average, 2),
+        "mg_coarsest_inverse_applies": round(info.coarsest_inverse_applies, 1),
         # with the dense coarsest inverse a "coarse solve" is ONE matvec,
         # so coarse_average is not comparable to the reference's GCR
         # iteration average -- the solver kind is recorded alongside
@@ -333,6 +338,9 @@ def bench_mg_solve(kind: str = "smooth", tv=(16, 16), setup=(3, 3),
         "mg_levels": p.num_levels,
         "mg_memory_mb": round(info.memory_mb, 1),
         "mg_inner_restart_cap": info.inner_restart_cap,
+        # f32 inner-sweep tolerance clip the adaptive scheme settled on
+        # (config.SolverParams.inner_tol_clip; 0 = non-df path)
+        "mg_inner_clip": float(f"{info.inner_tol_clip:.2e}"),
     }
     if cold_s is not None:
         out["mg_solve_cold_seconds"] = round(cold_s, 3)
@@ -452,101 +460,196 @@ def bench_lat32():
     }
 
 
-def _device_backend_reachable(timeout_s: int = 150) -> bool:
-    """Probe backend initialization in a SUBPROCESS with a timeout: a dead
-    device relay makes jax.devices() hang forever (observed hours-long
-    outages), which would leave the benchmark with no JSON record at all."""
-    import subprocess
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+# ---------------------------------------------------------------------------
+# Orchestration: every heavyweight section runs in a SUBPROCESS under a hard
+# per-section timeout, the parent enforces a global deadline, and the final
+# JSON line prints NO MATTER WHAT any section does (OOM retrace, relay stall,
+# crash).  r4 lesson: one OOM + a single end-of-run print turned the whole
+# round into rc 124 / parsed: null -- zero certified numbers.  The reference
+# treats benchmark reporting as a first-class subsystem
+# (src/top_level.c:71-101); so does this file now.
+#   DDAAMG_BENCH_BUDGET_S    global wall budget (default 2400)
+#   DDAAMG_BENCH_SECTIONS    comma list to run (default all)
+#   DDAAMG_BENCH_SIMULATE_STALL=<name>  make that section hang (watchdog test)
+# ---------------------------------------------------------------------------
+
+RESULT_TAG = "@@RESULT "
+
+# (name, cap seconds, skip-env, minimum useful slice)
+SECTION_PLAN = [
+    ("dslash",   480, None, 120),
+    ("headline", 1100, None, 300),
+    ("fast",     420, "DDAAMG_BENCH_SKIP_FAST", 180),
+    ("lat32",    900, "DDAAMG_BENCH_SKIP_32", 300),
+    ("smooth",   420, "DDAAMG_BENCH_SKIP_SMOOTH", 180),
+]
 
 
-def main():
-    if not _device_backend_reachable():
-        print(json.dumps({
-            "metric": "dslash_gflops", "value": 0.0, "unit": "GFLOP/s",
-            "vs_baseline": 0.0,
-            "detail": {"error": "device backend unreachable "
-                                "(relay down / jax.devices() hang)"}}))
-        return 1
-    d = bench_dslash()
-    detail = {
-        "lattice": list(LAT),
-        "kernel": "pallas-fused",
-        "layout": "soa-split-f32",
-        "platform": d["platform"],
-        "ms_per_apply": round(d["ms_per_apply"], 4),
-        "measured_stream_gbs": round(d["measured_stream_gbs"], 1),
-        "roofline_gflops_packed": round(d["roofline_gflops_packed"], 1),
-        "roofline_gflops_dense": round(d["roofline_gflops_dense"], 1),
-        "target_gflops": round(d["target_gflops"], 1),
-    }
-    if not os.environ.get("DDAAMG_BENCH_DSLASH_ONLY"):
+def run_section(name: str) -> dict:
+    """One section's measurements (runs inside the child process)."""
+    if os.environ.get("DDAAMG_BENCH_SIMULATE_STALL") == name:
+        time.sleep(100_000)   # watchdog test: pretend the relay wedged
+    if name == "dslash":
+        d = bench_dslash()
+        return {
+            "dslash_gflops": round(d["gflops"], 1),
+            "dslash_vs_target": round(d["vs_target"], 3),
+            "lattice": list(LAT),
+            "kernel": "pallas-fused",
+            "layout": "soa-split-f32",
+            "platform": d["platform"],
+            "ms_per_apply": round(d["ms_per_apply"], 4),
+            "measured_stream_gbs": round(d["measured_stream_gbs"], 1),
+            "roofline_gflops_packed": round(d["roofline_gflops_packed"], 1),
+            "roofline_gflops_dense": round(d["roofline_gflops_dense"], 1),
+            "target_gflops": round(d["target_gflops"], 1),
+        }
+    if name == "headline":
         # HEADLINE: reference-roughness config at the reference's EXACT
         # parameters (28/28 TVs, setup 4+3, bench_assets/rough16.ini) --
         # mg_iterations and mg_vs_ref_same_problem compare matched solvers
         # on the same matrix (reference recorded run: 11 iterations,
         # 85.9 s solve, bench_assets/rough16_ref.json)
-        try:
-            detail.update(bench_mg_solve("rough", tv=(28, 28), setup=(4, 3),
-                                         measure_setup_run=True))
-        except Exception as e:
-            import traceback
-            traceback.print_exc(file=sys.stderr)
-            detail["mg_solve_error"] = repr(e)[:200]
+        return bench_mg_solve("rough", tv=(28, 28), setup=(4, 3),
+                              measure_setup_run=True)
+    if name == "fast":
         # fast-setup variant (16 TVs, setup 3+3): the r1-r3 bench config,
         # labeled mg_fast_* -- cheaper setup at the cost of iterations (a
-        # PARAMETER choice, not machine speed; skippable:
-        # DDAAMG_BENCH_SKIP_FAST=1)
-        if not os.environ.get("DDAAMG_BENCH_SKIP_FAST"):
-            try:
-                fa = bench_mg_solve("rough", tv=(16, 16), setup=(3, 3),
-                                    do_cold=False, do_multi=False)
-                detail.update({
-                    f"mg_fast_{k.removeprefix('mg_')}": v
-                    for k, v in fa.items() if not k.startswith("ref_")})
-            except Exception as e:
-                import traceback
-                traceback.print_exc(file=sys.stderr)
-                detail["mg_fast_solve_error"] = repr(e)[:200]
+        # PARAMETER choice, not machine speed)
+        fa = bench_mg_solve("rough", tv=(16, 16), setup=(3, 3),
+                            do_cold=False, do_multi=False)
+        return {f"mg_fast_{k.removeprefix('mg_')}": v
+                for k, v in fa.items() if not k.startswith("ref_")}
+    if name == "smooth":
         # continuity problem: the smooth field r01/r02 benchmarked
-        # (skippable: DDAAMG_BENCH_SKIP_SMOOTH=1)
-        if not os.environ.get("DDAAMG_BENCH_SKIP_SMOOTH"):
+        sm = bench_mg_solve("smooth", do_multi=False)
+        keep = {"ref_scaled_solve_seconds", "mg_vs_ref_scaled"}
+        return {k if k in keep else f"smooth_{k.removeprefix('mg_')}": v
+                for k, v in sm.items()}
+    if name == "lat32":
+        return bench_lat32()
+    raise ValueError(f"unknown section {name!r}")
+
+
+def _child_main(name: str) -> int:
+    try:
+        out = run_section(name)
+    except Exception as e:
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        out = {f"{name}_error": repr(e)[:300]}
+    print(RESULT_TAG + json.dumps(out), flush=True)
+    return 0
+
+
+def _run_section_subprocess(name: str, slice_s: float) -> dict:
+    """Run one section as a watchdogged child; never raises."""
+    import subprocess
+    cmd = [sys.executable, os.path.abspath(__file__), "--section", name]
+    t0 = time.perf_counter()
+    try:
+        r = subprocess.run(cmd, timeout=slice_s, capture_output=True,
+                           text=True)
+    except subprocess.TimeoutExpired as e:
+        for s in (e.stderr or b""), (e.stdout or b""):
+            s = s.decode(errors="replace") if isinstance(s, bytes) else s
+            if s:
+                sys.stderr.write(s[-4000:])
+        return {f"{name}_error": f"timeout after {int(slice_s)}s "
+                                 "(section killed by watchdog)"}
+    dt = time.perf_counter() - t0
+    if r.stderr:
+        sys.stderr.write(r.stderr[-8000:])
+    out = None
+    for line in (r.stdout or "").splitlines():
+        if line.startswith(RESULT_TAG):
             try:
-                sm = bench_mg_solve("smooth", do_multi=False)
-                keep = {"ref_scaled_solve_seconds", "mg_vs_ref_scaled"}
-                detail.update({
-                    k if k in keep else f"smooth_{k.removeprefix('mg_')}": v
-                    for k, v in sm.items()})
-            except Exception as e:
-                import traceback
-                traceback.print_exc(file=sys.stderr)
-                detail["mg_smooth_solve_error"] = repr(e)[:200]
-        # BASELINE configs-ladder step 5, single-chip leg: a 32^4 solve
-        # (16x the headline volume; memory-gated parameters).  Skippable:
-        # DDAAMG_BENCH_SKIP_32=1.
-        if not os.environ.get("DDAAMG_BENCH_SKIP_32"):
-            try:
-                detail.update(bench_lat32())
-            except Exception as e:
-                import traceback
-                traceback.print_exc(file=sys.stderr)
-                detail["lat32_solve_error"] = repr(e)[:200]
+                out = json.loads(line[len(RESULT_TAG):])
+            except Exception:
+                pass
+    if out is None:
+        tail = ((r.stderr or "") + (r.stdout or ""))[-300:]
+        out = {f"{name}_error": f"section crashed rc={r.returncode}: {tail}"}
+    out[f"bench_{name}_wall_seconds"] = round(dt, 1)
+    return out
+
+
+def _probe_relay(timeout_s: int = 150):
+    """Backend init latency via a SUBPROCESS (a dead relay hangs
+    jax.devices() forever -- observed hours-long outages)."""
+    import subprocess
+    t0 = time.perf_counter()
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0, time.perf_counter() - t0
+    except subprocess.TimeoutExpired:
+        return False, time.perf_counter() - t0
+
+
+def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--section":
+        return _child_main(sys.argv[2])
+
+    budget = float(os.environ.get("DDAAMG_BENCH_BUDGET_S", "2400"))
+    deadline = time.perf_counter() + budget
+    detail = {"bench_budget_seconds": budget}
+
+    ok, probe_s = _probe_relay()
+    detail["relay_probe_seconds"] = round(probe_s, 1)
+    if not ok:
+        detail["error"] = ("device backend unreachable "
+                           "(relay down / jax.devices() hang)")
+        print(json.dumps({"metric": "dslash_gflops", "value": 0.0,
+                          "unit": "GFLOP/s", "vs_baseline": 0.0,
+                          "detail": detail}))
+        return 0
+
+    only = os.environ.get("DDAAMG_BENCH_SECTIONS")
+    only = set(only.split(",")) if only else None
+    if os.environ.get("DDAAMG_BENCH_DSLASH_ONLY"):
+        only = {"dslash"}
+    for name, cap, skip_env, min_s in SECTION_PLAN:
+        if only is not None and name not in only:
+            continue
+        if skip_env and os.environ.get(skip_env):
+            continue
+        remaining = deadline - time.perf_counter() - 20  # final-print reserve
+        if remaining < min_s:
+            detail[f"{name}_skipped"] = ("budget exhausted "
+                                         f"({int(remaining)}s left)")
+            print(f"# section {name}: skipped (budget)", file=sys.stderr)
+            continue
+        slice_s = min(cap, remaining)
+        print(f"# section {name}: starting (slice {int(slice_s)}s)",
+              file=sys.stderr, flush=True)
+        detail.update(_run_section_subprocess(name, slice_s))
+        # incremental record: everything measured so far survives a later
+        # kill -9 of the whole bench (driver reads stdout; the file is a
+        # belt-and-braces copy)
+        partial = {"metric": "dslash_gflops",
+                   "value": detail.get("dslash_gflops", 0.0),
+                   "unit": "GFLOP/s",
+                   "vs_baseline": detail.get("dslash_vs_target", 0.0),
+                   "detail": detail}
+        try:
+            with open("BENCH_partial.json", "w") as f:
+                json.dump(partial, f)
+        except OSError:
+            pass
+        print("# partial: " + json.dumps(partial), file=sys.stderr, flush=True)
 
     out = {
         "metric": "dslash_gflops",
-        "value": round(d["gflops"], 1),
+        "value": detail.get("dslash_gflops", 0.0),
         "unit": "GFLOP/s",
-        "vs_baseline": round(d["vs_target"], 3),
+        "vs_baseline": detail.get("dslash_vs_target", 0.0),
         "detail": detail,
     }
     print(json.dumps(out))
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

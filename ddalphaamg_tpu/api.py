@@ -58,6 +58,14 @@ class SolveInfo:
     coarse_average: float = 0.0
     memory_mb: float = 0.0          # device-memory high water (main.h:88-140)
     inner_restart_cap: int = 0      # multi-RHS inner GCR length actually used
+    # coarsest-level operator applications per outer iteration (matvec
+    # equivalents): comparable with the reference's coarse-grid-iteration
+    # average (72.55 on sample.ini, src/linsolve_generic.c:363-374) even
+    # when coarsest_direct replaces the GCR with dense-inverse applies
+    # (those are counted separately below)
+    coarse_matvec_average: float = 0.0
+    coarsest_inverse_applies: float = 0.0
+    inner_tol_clip: float = 0.0     # f32 inner-sweep clip actually applied
 
 
 _SCHEMES = {1: "additive", 2: "red_black", 3: "sixteen_color"}
@@ -351,7 +359,7 @@ class Solver:
         import jax
 
         from .solvers.fgmres import FGMRESResult
-        from .utils import host_float
+        from .utils import host_array, host_float
 
         p = self.p
         x64 = bool(jax.config.read("jax_enable_x64"))
@@ -397,7 +405,7 @@ class Solver:
         else:
             x = cplx.zeros_like(b) if cplx.is_split(b) else jnp.zeros_like(b)
         iters = 0.0
-        citers = 0.0
+        citers = np.zeros(3)   # [gcr_iters, coarsest matvecs, inv applies]
         resvec = []
         converged = False
         relres = 1.0
@@ -424,10 +432,14 @@ class Solver:
                                                m=p.restart_length)
             x = x + cast_r(z, hi_r)
             iters += host_float(it)
-            citers += host_float(cit)
+            citers += np.asarray(host_array(cit))
         if self.mg is not None:
             self.mg.stats["coarse_iterations"] = (
-                self.mg.stats["coarse_iterations"] + citers)
+                self.mg.stats["coarse_iterations"] + citers[0])
+            self.mg.stats["coarse_matvecs"] = (
+                self.mg.stats["coarse_matvecs"] + citers[1])
+            self.mg.stats["coarsest_inverse_applies"] = (
+                self.mg.stats["coarsest_inverse_applies"] + citers[2])
         return FGMRESResult(x, int(iters), relres, converged, resvec)
 
     def _solve_df_device(self, rhs, tol, x0=None):
@@ -555,18 +567,30 @@ class Solver:
             max(5, min(p.restart_length, budget // max(n_dof * B, 1)))))
         self._last_m_cap = m_cap
 
-        # DDAAMG_INNER_CLIP: the true (double-float) residual reduction one
-        # f32 inner sweep can deliver is floored at ~kappa(D) * eps_f32 by
-        # the f32 ROUNDING OF THE OPERATOR ITSELF -- measured on the rough
-        # 16^4 headline problem the floor is 2e-3..1.4e-2 per sweep no
-        # matter how far the inner GCR iterates (target 1e-5 delivered the
-        # SAME per-restart reductions as 3e-3, just with ~2 wasted
-        # iterations each).  Clipping at 3e-3 reached 1e-10 in 13 inner
-        # iterations vs 21 at the old 1e-5 clip (probe_solve_latency,
-        # 28-TV matched parameters).  Converged lanes get tol 2.0 -> the
-        # vmapped early-exit GCR freezes them at iteration 0 with a zero
-        # correction.
-        clip = float(os.environ.get("DDAAMG_INNER_CLIP", "3e-3"))
+        # Inner-sweep tolerance clip: the true (double-float) residual
+        # reduction one f32 inner sweep can deliver is floored at
+        # ~kappa(D) * eps_f32 by the f32 ROUNDING OF THE OPERATOR ITSELF --
+        # measured on the rough 16^4 headline problem the floor is
+        # 2e-3..1.4e-2 per sweep no matter how far the inner GCR iterates
+        # (target 1e-5 delivered the SAME per-restart reductions as 3e-3,
+        # just with ~2 wasted iterations each).  Clipping at 3e-3 reached
+        # 1e-10 in 13 inner iterations vs 21 at the old 1e-5 clip
+        # (probe_solve_latency, 28-TV matched parameters).  Converged lanes
+        # get tol 2.0 -> the vmapped early-exit GCR freezes them at
+        # iteration 0 with a zero correction.
+        #
+        # p.inner_tol_clip None = ADAPTIVE (condition-aware): start at an
+        # optimistic 1e-4 and, whenever a sweep falls well short of its
+        # requested reduction, raise the clip to ~0.7x the measured
+        # per-sweep floor of THIS problem.  A well-conditioned operator
+        # (whose sweeps deliver what they are asked) keeps the deep
+        # targets; a fixed clip tuned on rough16 would cost it outer
+        # restarts.  DDAAMG_INNER_CLIP overrides with a fixed value.
+        env_clip = os.environ.get("DDAAMG_INNER_CLIP")
+        fixed_clip = (float(env_clip) if env_clip is not None
+                      else p.inner_tol_clip)
+        adaptive_clip = fixed_clip is None
+        clip = 1e-4 if adaptive_clip else float(fixed_clip)
         # the fused step bakes the Pallas-vs-einsum stencil choice per
         # batch size (B>1: einsum views, see Multigrid._level_data_batched)
         data = (self.mg._level_data() if B == 1
@@ -581,9 +605,22 @@ class Solver:
         # set; the extra ~4 dispatches/restart are noise at this scale
         fused = n_dof <= 200_000 * 12
 
+        def adapt_clip(clip, prev_rel, cur_rel):
+            """Condition-aware clip update from the measured reduction of
+            the restart that just ran: lanes whose sweep fell well short of
+            its requested target expose the f32 per-sweep floor."""
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ach = cur_rel / np.maximum(prev_rel, 1e-300)
+            req = np.maximum(tol / np.maximum(prev_rel, 1e-300), clip)
+            learn = (prev_rel >= tol) & (ach > 3.0 * req) & (ach < 1.0)
+            if learn.any():
+                return float(min(max(clip, 0.7 * ach[learn].max()), 5e-2))
+            return clip
+
         it_handles = []
         resvec = []
         relres = np.ones(B)
+        prev_rel = None
         converged = np.zeros(B, bool)
         for restart in range(p.max_restarts):
             if fused:
@@ -593,11 +630,18 @@ class Solver:
                                          tol32, clip32, m=m_cap)
                 it_handles.append((it, cit))
                 relres = np.asarray(host_array(rel), np.float64)
+                if adaptive_clip and prev_rel is not None:
+                    clip = adapt_clip(clip, prev_rel, relres)
+                    clip32 = jnp.float32(clip)   # traced arg: no recompile
+                prev_rel = relres.copy()
             else:
                 r_cdf, rn2 = residual_b(wdf, b_cdf, x)
                 arr = np.asarray(host_array(rn2))
                 nr = np.sqrt(np.maximum(arr[:, 0] + arr[:, 1], 0.0))
                 relres = nr / norm_b
+                if adaptive_clip and prev_rel is not None:
+                    clip = adapt_clip(clip, prev_rel, relres)
+                prev_rel = relres.copy()
                 if (relres < tol).all():
                     resvec.append(relres.copy())
                     converged = relres < tol
@@ -630,14 +674,20 @@ class Solver:
         relres = nr / norm_b
         resvec.append(relres.copy())
         converged = relres < tol
+        self._last_inner_clip = clip   # observability (bench / SolveInfo)
         its = np.zeros(B)
-        cits = np.zeros(B)
+        cits = np.zeros((B, 3))
         for it, cit in it_handles:
             its += np.asarray(host_array(it))
-            cits += np.asarray(host_array(cit))
+            cits += np.asarray(host_array(cit)).reshape(-1, 3)
         if self.mg is not None:
             self.mg.stats["coarse_iterations"] = (
-                self.mg.stats["coarse_iterations"] + float(cits.sum()))
+                self.mg.stats["coarse_iterations"] + float(cits[:, 0].sum()))
+            self.mg.stats["coarse_matvecs"] = (
+                self.mg.stats["coarse_matvecs"] + float(cits[:, 1].sum()))
+            self.mg.stats["coarsest_inverse_applies"] = (
+                self.mg.stats["coarsest_inverse_applies"]
+                + float(cits[:, 2].sum()))
         x_log = dfm.cdf_to64(x).reshape(B, 4, 3, t, z, y, x_).transpose(
             0, 3, 4, 5, 6, 1, 2)
         return x_log, its, relres, converged, resvec
@@ -661,15 +711,25 @@ class Solver:
                 and not os.environ.get("DDAAMG_HOST_OUTER")):
             self.mg.stats["coarse_iterations"] = 0
             self.mg.stats["coarse_solves"] = 0
+            self.mg.stats["coarse_matvecs"] = 0
+            self.mg.stats["coarsest_inverse_applies"] = 0
             t0 = time.time()
             x_log, its, relres, converged, _ = self._solve_df_multi(
                 rhs_batch, tol)
             dt = time.time() - t0
             from .profiling import solve_memory_mb
             mem = solve_memory_mb(self)
+            cavg = float(self.mg.stats["coarse_iterations"]) / max(
+                float(its.sum()), 1.0)
+            mavg = float(self.mg.stats["coarse_matvecs"]) / max(
+                float(its.sum()), 1.0)
+            inv_tot = float(self.mg.stats["coarsest_inverse_applies"])
             infos = [SolveInfo(iterations=int(its[i]), relres=float(relres[i]),
                                converged=bool(converged[i]), solve_time=dt / B,
                                memory_mb=mem,
+                               coarse_average=cavg,
+                               coarse_matvec_average=mavg,
+                               coarsest_inverse_applies=inv_tot / B,
                                inner_restart_cap=getattr(self, "_last_m_cap", 0))
                      for i in range(B)]
             return x_log, infos
@@ -745,6 +805,8 @@ class Solver:
         if self.mg is not None:
             self.mg.stats["coarse_iterations"] = 0
             self.mg.stats["coarse_solves"] = 0
+            self.mg.stats["coarse_matvecs"] = 0
+            self.mg.stats["coarsest_inverse_applies"] = 0
 
         # profiling hooks (reference PROF_PRECISION_START/STOP around the
         # fine operator and the preconditioner)
@@ -811,12 +873,22 @@ class Solver:
                          single_reduce=self._single_reduce())
         dt = time.time() - t0
         coarse_avg = 0.0
+        matvec_avg = 0.0
+        inv_applies = 0.0
         if self.mg is not None and res.iterations:
-            coarse_avg = self.mg.stats["coarse_iterations"] / res.iterations
+            coarse_avg = float(
+                self.mg.stats["coarse_iterations"]) / res.iterations
+            matvec_avg = float(
+                self.mg.stats["coarse_matvecs"]) / res.iterations
+            inv_applies = float(self.mg.stats["coarsest_inverse_applies"])
         from .profiling import solve_memory_mb
         info = SolveInfo(iterations=res.iterations, relres=res.relres,
                          converged=res.converged, solve_time=dt,
                          coarse_average=coarse_avg,
+                         coarse_matvec_average=matvec_avg,
+                         coarsest_inverse_applies=inv_applies,
+                         inner_tol_clip=getattr(self, "_last_inner_clip", 0.0),
+                         inner_restart_cap=getattr(self, "_last_m_cap", 0),
                          memory_mb=solve_memory_mb(self))
         return device_get_complex(res.x), info
 

@@ -69,6 +69,16 @@ class SolverParams:
     # cycle (batched block inverses); None = auto (on for the TPU path --
     # the MinRes block solver is the measured cycle-time hotspot there)
     smoother_direct: Optional[bool] = None
+    # floor on the residual reduction requested from ONE f32 inner restart
+    # of the mixed-precision outer loop: the reduction an f32 sweep can
+    # deliver is floored at ~kappa(D)*eps_f32 by the f32 rounding of the
+    # operator itself, and requesting more burns inner iterations with no
+    # progress.  None = ADAPTIVE: start optimistic (1e-4) and raise the
+    # clip to ~0.7x the measured per-sweep reduction floor of THIS problem
+    # (condition-aware; a well-conditioned operator keeps its deep sweeps).
+    # A float fixes the clip (reference analog: per-level tolerances are
+    # first-class ini parameters, src/init.c:846-866).
+    inner_tol_clip: Optional[float] = None
     print_mode: int = 1
     randomize_test_vectors: bool = False
     seed: int = 42

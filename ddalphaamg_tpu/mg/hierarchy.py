@@ -56,7 +56,7 @@ def _resetup_kernel(stencil, op_galerkin, tvs, agg, geom, n: int,
     picks its packed variant ("tz" keeps Z shardable for z-sharded
     meshes)."""
     from ..operators.stencil import CoarseStencilSoA
-    tvs_log = cplx.stack([stencil.to_logical(tvs[i]) for i in range(n)])
+    tvs_log = stencil.to_logical_batch(tvs)
     P = build_interpolation(agg, tvs_log)
     cop = build_coarse_operator(op_galerkin, agg, P)
     if soa:
@@ -66,7 +66,7 @@ def _resetup_kernel(stencil, op_galerkin, tvs, agg, geom, n: int,
 
 @partial(jax.jit, static_argnames=("agg", "n"))
 def _interp_kernel(stencil, tvs, agg, n: int):
-    tvs_log = cplx.stack([stencil.to_logical(tvs[i]) for i in range(n)])
+    tvs_log = stencil.to_logical_batch(tvs)
     return build_interpolation(agg, tvs_log)
 
 
@@ -99,10 +99,17 @@ def _resetup_any(stencil, op_galerkin, tvs, agg, geom, n: int,
     piece-wise."""
     sites = int(np.prod(agg.fine_lattice))
     if isinstance(op_galerkin, WilsonOperator):
-        big = sites > 200_000                      # 32^4 fine; 16^4 is fine
+        # n-aware: the fused program's live set AND compile time scale with
+        # the number of test vectors (n logical TVs + n columns of P +
+        # Galerkin temps), not just the site count.  Measured on the chip:
+        # 16^4 x 16 TVs compiles/runs well fused; 16^4 x 28 TVs takes the
+        # XLA backend >10 min to compile (r4: then OOMed at runtime) --
+        # the piece-wise path compiles in seconds per piece.
+        big = sites > 200_000 or sites * n > 1_500_000
     else:
         d = int(op_galerkin.A.shape[-1])
-        big = sites * ((d + 7) // 8 * 8) * 128 * 8 > 500_000_000
+        big = (sites * ((d + 7) // 8 * 8) * 128 * 8 > 500_000_000
+               or sites * d * n > 4_000_000)
     if not big:
         return _resetup_kernel(stencil, op_galerkin, tvs, agg, geom, n,
                                soa=soa, layout=layout)
@@ -345,9 +352,7 @@ class MGLevel:
 
     def tvs_logical(self):
         """Test vectors in logical layout (for P / checkpoint IO)."""
-        s = self.stencil
-        n = self.test_vectors.shape[0]
-        return cplx.stack([s.to_logical(self.test_vectors[i]) for i in range(n)])
+        return self.stencil.to_logical_batch(self.test_vectors)
 
     def operator_for_galerkin(self):
         if self.galerkin_op is not None:
@@ -362,7 +367,8 @@ class Multigrid:
 
     def __init__(self, op: WilsonOperator, mg_cfg: MGConfig):
         self.cfg = mg_cfg
-        self.stats = {"coarse_iterations": 0, "coarse_solves": 0}
+        self.stats = {"coarse_iterations": 0, "coarse_solves": 0,
+                      "coarse_matvecs": 0, "coarsest_inverse_applies": 0}
         # the SoA fast path always runs split-complex internally; the
         # representation is converted at the preconditioner boundary
         self._split = mg_cfg.split or mg_cfg.use_soa
@@ -636,14 +642,23 @@ class Multigrid:
         """Odd-even Schur GCR on the coarsest level, fully on device
         (coarse_solve_odd_even_PRECISION, src/coarse_oddeven_generic.c:1139);
         or, with coarsest_direct, one matvec with the precomputed inverse.
-        b and the result are in the level's STENCIL layout."""
+        b and the result are in the level's STENCIL layout.
+
+        Returns (x, counters[3]) with counters = [gcr_iterations,
+        coarsest operator applications (matvec equivalents), dense-inverse
+        applies] -- the second slot keeps coarse WORK comparable with the
+        reference's coarse-grid-iteration average (72.55 on sample.ini,
+        src/linsolve_generic.c:363-374) even when coarsest_direct replaces
+        the GCR with one inverse apply."""
         cfg = self.cfg
         if dense_inv is not None:
             from ..operators.stencil import dense_schur_solve, dense_solve
             if isinstance(dense_inv, tuple):
                 inv, idx = dense_inv
-                return dense_schur_solve(s, inv, idx, b), jnp.float32(1.0)
-            return dense_solve(dense_inv, b), jnp.float32(1.0)
+                return (dense_schur_solve(s, inv, idx, b),
+                        jnp.array([1.0, 0.0, 1.0], jnp.float32))
+            return (dense_solve(dense_inv, b),
+                    jnp.array([1.0, 0.0, 1.0], jnp.float32))
         use_oe = cfg.odd_even and all(e % 2 == 0 for e in geom.lattice)
         if use_oe:
             hop = s.hop
@@ -660,7 +675,10 @@ class Multigrid:
         else:
             x, iters, _, _ = device_gcr(s.full_op, b, m=cfg.coarse_iter,
                                         tol=tol, n_restarts=cfg.coarse_restart)
-        return x, iters
+        # matvec equivalents: one operator apply per GCR iteration plus one
+        # initial-residual apply per restart sweep
+        matv = iters + jnp.float32(cfg.coarse_restart)
+        return x, jnp.stack([iters, matv, jnp.float32(0.0)])
 
     def _cycle(self, data, depth: int, eta, kcycle_tol: float, x=None,
                collect=None):
@@ -675,7 +693,8 @@ class Multigrid:
         levels = self._levels()
         level, nxt = levels[depth], levels[depth + 1]
         s = data[depth]["stencil"]
-        citers = jnp.float32(0.0)
+        # [gcr_iters, coarsest matvec equivalents, dense-inverse applies]
+        citers = jnp.zeros(3, jnp.float32)
         for _ in range(level.cfg.n_cy):
             r = eta if x is None else eta - s.full_op(x)
             # layout boundary: SoA fields -> logical for P^H / P
@@ -699,7 +718,8 @@ class Multigrid:
                 x_cs, _, _, inner = device_gcr(
                     ns.full_op, b_c,
                     m=cfg.kcycle_length, tol=kcycle_tol,
-                    n_restarts=cfg.kcycle_restarts, prec=kprec)
+                    n_restarts=cfg.kcycle_restarts, prec=kprec,
+                    aux_zero=jnp.zeros(3, jnp.float32))
                 citers = citers + inner
             else:
                 x_cs, it = self._cycle(data, depth + 1, b_c, kcycle_tol,
@@ -756,7 +776,12 @@ class Multigrid:
         """Depth-0 preconditioner application M(eta) -- ONE device dispatch."""
         out, citers, _ = self._run_cycle(eta)
         # lazy device-side accumulation; fetched when stats are read
-        self.stats["coarse_iterations"] = self.stats["coarse_iterations"] + citers
+        self.stats["coarse_iterations"] = (
+            self.stats["coarse_iterations"] + citers[0])
+        self.stats["coarse_matvecs"] = (
+            self.stats["coarse_matvecs"] + citers[1])
+        self.stats["coarsest_inverse_applies"] = (
+            self.stats["coarsest_inverse_applies"] + citers[2])
         self.stats["coarse_solves"] += 1
         return out
 
@@ -776,7 +801,8 @@ class Multigrid:
             return self._cycle(data, 0, w, float(self.cfg.kcycle_tol))
 
         z, iters, _, citers = device_gcr(s.full_op, v, m=m, tol=rel_tol,
-                                         n_restarts=1, prec=prec)
+                                         n_restarts=1, prec=prec,
+                                         aux_zero=jnp.zeros(3, jnp.float32))
         out = s.to_logical(z)
         if not split_in and cplx.is_split(out):
             out = jax.lax.complex(out.re, out.im)
@@ -1042,8 +1068,7 @@ class Multigrid:
         if self.cfg.mesh is not None:
             from .. import parallel
             tvs = parallel.shard_stacked_field(self.cfg.mesh, tvs, lat)
-        self.fine.test_vectors = cplx.stack(
-            [s.from_logical(tvs[i]) for i in range(want)])
+        self.fine.test_vectors = s.from_logical_batch(tvs)
         self.re_setup(self.fine)
 
     def get_test_vectors(self) -> np.ndarray:

@@ -45,6 +45,17 @@ class _LogicalLayout:
     def from_logical(self, v):
         return v
 
+    def to_logical_batch(self, vs):
+        """Batched to_logical over a leading stack axis, as ONE program.
+        Per-vector to_logical + cplx.stack lowers to broadcast_in_dim
+        temporaries with a length-1 minormost axis that XLA tile-pads to
+        128 lanes (a measured 128x HBM expansion at 28 test vectors);
+        batching the layout change keeps it a single transpose."""
+        return jax.vmap(self.to_logical)(vs)
+
+    def from_logical_batch(self, vs):
+        return jax.vmap(self.from_logical)(vs)
+
     def lattice_mask(self, mask_np):
         """[T,Z,Y,X] numpy mask -> field-broadcastable jnp array."""
         rdtype = np.zeros((), np.dtype(self.dtype)).real.dtype
@@ -462,6 +473,20 @@ class CoarseStencilSoA:
     def from_logical(self, v):
         t, z, y, x = self.geom.lattice
         return _transpose_any(v, (4, 0, 1, 2, 3)).reshape(-1, t, z, y * x)
+
+    def to_logical_batch(self, vs):
+        """[N, d, T, Z, Y*X] -> [N, T, Z, Y, X, d] as one transpose (no
+        per-vector stack: that path tile-pads 128x, see _LogicalLayout)."""
+        t, z, y, x = self.geom.lattice
+        n, d = vs.shape[0], vs.shape[1]
+        return _transpose_any(vs.reshape(n, d, t, z, y, x),
+                              (0, 2, 3, 4, 5, 1))
+
+    def from_logical_batch(self, vs):
+        t, z, y, x = self.geom.lattice
+        n = vs.shape[0]
+        return _transpose_any(vs, (0, 5, 1, 2, 3, 4)).reshape(
+            n, -1, t, z, y * x)
 
     def lattice_mask(self, mask_np):
         from .fast import lattice_mask_to_soa
@@ -944,6 +969,20 @@ class WilsonStencilSoA:
     def from_logical(self, v):
         from . import fast
         return fast.spinor_to_soa(v)
+
+    def to_logical_batch(self, vs):
+        """[N, 4, 3, T, Z, Y*X] -> [N, T, Z, Y, X, 4, 3] as one transpose
+        (avoids the 128x tile-padded per-vector stack, see _LogicalLayout)."""
+        t, z, y, x = self.geom.lattice
+        n = vs.shape[0]
+        a = vs.reshape(n, 4, 3, t, z, y, x)
+        return _transpose_any(a, (0, 3, 4, 5, 6, 1, 2))
+
+    def from_logical_batch(self, vs):
+        t, z, y, x = vs.shape[1:5]
+        n = vs.shape[0]
+        return _transpose_any(vs, (0, 5, 6, 1, 2, 3, 4)).reshape(
+            n, 4, 3, t, z, y * x)
 
     def lattice_mask(self, mask_np):
         from . import fast

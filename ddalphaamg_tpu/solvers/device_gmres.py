@@ -44,18 +44,20 @@ def _cax(alpha_re, alpha_im, v):
 
 def device_gcr(apply_op: Callable, b, m: int, tol: float,
                n_restarts: int = 1, prec: Optional[Callable] = None,
-               x0=None):
+               x0=None, aux_zero=None):
     """Solve A x = b to ||r|| < tol ||b|| with restarted flexible GCR.
 
-    apply_op(v) -> A v; prec(v) -> (z, aux_scalar) or z (flexible right
-    preconditioner; aux_scalar lets nested cycles report their coarse
-    iteration counts up through the loop carry).
+    apply_op(v) -> A v; prec(v) -> (z, aux) or z (flexible right
+    preconditioner; aux lets nested cycles report their coarse iteration
+    counts up through the loop carry).  aux_zero: the additive identity of
+    the preconditioner's aux (default scalar f32 0; pass e.g.
+    jnp.zeros(3, f32) when prec reports a counter vector).
 
     Returns (x, iters, relres2, prec_aux_sum): all device values; iters is
     the number of *active* iterations performed (f32), relres2 the final
     squared relative residual.
     """
-    zero = jnp.float32(0.0)
+    zero = jnp.float32(0.0) if aux_zero is None else aux_zero
     shape = b.shape
 
     def unflat(v):
@@ -122,7 +124,7 @@ def device_gcr(apply_op: Callable, b, m: int, tol: float,
             cond, body, (j0, x, r, W, Q, iters, aux_sum))
         return (x, iters, aux_sum), cplx.norm2(r)
 
-    carry = (x, jnp.float32(0.0), jnp.float32(0.0))
+    carry = (x, jnp.float32(0.0), zero)
     if n_restarts == 1:
         carry, rn2 = restart(carry, None)
     else:
