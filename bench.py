@@ -205,7 +205,7 @@ def _rough_gauge():
 
 def bench_mg_solve(kind: str = "smooth", tv=(16, 16), setup=(3, 3),
                    measure_setup_run: bool = False, do_cold: bool = True,
-                   do_multi: bool = True):
+                   do_multi: bool = True, progress=None):
     """Production end-to-end solve: setup + solve to 1e-10 on SOLVE_LAT.
 
     kind="smooth": near-free synthetic field (the flattering problem; kept
@@ -236,10 +236,13 @@ def bench_mg_solve(kind: str = "smooth", tv=(16, 16), setup=(3, 3),
         U = smooth_su3(SOLVE_LAT, seed=0)
     solver.set_conf(U, links_have_bc=True)
 
+    progress = progress or (lambda d: None)
     t0 = time.perf_counter()
     with compile_time_tracker() as comp:
         solver.setup()
     setup_s = time.perf_counter() - t0
+    progress({"mg_setup_seconds": round(setup_s, 1),
+              "mg_test_vectors": list(tv), "mg_setup_iter": list(setup)})
 
     setup_run_s = None
     if measure_setup_run:
@@ -353,6 +356,9 @@ def bench_mg_solve(kind: str = "smooth", tv=(16, 16), setup=(3, 3),
         out["mg_setup_compile_seconds"] = round(
             max(setup_s - setup_run_s, 0.0), 1)
         out["mg_setup_compile_events_seconds"] = round(comp["compile_s"], 1)
+    # incremental: the core solve record survives a later watchdog kill
+    # (multi-RHS / 32^4 sections may still be minutes away)
+    progress(dict(out))
     sites = int(np.prod(SOLVE_LAT))
     if kind == "smooth":
         ref_sites = 8 ** 4
@@ -435,6 +441,7 @@ def bench_lat32():
     t0 = time.perf_counter()
     solver.setup()
     setup_s = time.perf_counter() - t0
+    _emit_partial({"lat32_setup_seconds": round(setup_s, 1)})
     # release setup-only arrays: at 32^4 the full hierarchy leaves no HBM
     # headroom for the solve workspace
     solver.slim_for_solve()
@@ -511,13 +518,17 @@ def run_section(name: str) -> dict:
         # on the same matrix (reference recorded run: 11 iterations,
         # 85.9 s solve, bench_assets/rough16_ref.json)
         return bench_mg_solve("rough", tv=(28, 28), setup=(4, 3),
-                              measure_setup_run=True)
+                              measure_setup_run=True, progress=_emit_partial)
     if name == "fast":
         # fast-setup variant (16 TVs, setup 3+3): the r1-r3 bench config,
         # labeled mg_fast_* -- cheaper setup at the cost of iterations (a
         # PARAMETER choice, not machine speed)
         fa = bench_mg_solve("rough", tv=(16, 16), setup=(3, 3),
-                            do_cold=False, do_multi=False)
+                            do_cold=False, do_multi=False,
+                            progress=lambda d: _emit_partial(
+                                {f"mg_fast_{k.removeprefix('mg_')}": v
+                                 for k, v in d.items()
+                                 if not k.startswith("ref_")}))
         return {f"mg_fast_{k.removeprefix('mg_')}": v
                 for k, v in fa.items() if not k.startswith("ref_")}
     if name == "smooth":
@@ -531,6 +542,12 @@ def run_section(name: str) -> dict:
     raise ValueError(f"unknown section {name!r}")
 
 
+def _emit_partial(d: dict) -> None:
+    """Flush a partial section record: the parent merges EVERY tagged line
+    (in order), so measurements taken before a watchdog kill survive."""
+    print(RESULT_TAG + json.dumps(d), flush=True)
+
+
 def _child_main(name: str) -> int:
     try:
         out = run_section(name)
@@ -542,6 +559,18 @@ def _child_main(name: str) -> int:
     return 0
 
 
+def _merge_tagged(stdout: str) -> dict:
+    """Merge every @@RESULT line in order (later fields override)."""
+    out = {}
+    for line in (stdout or "").splitlines():
+        if line.startswith(RESULT_TAG):
+            try:
+                out.update(json.loads(line[len(RESULT_TAG):]))
+            except Exception:
+                pass
+    return out
+
+
 def _run_section_subprocess(name: str, slice_s: float) -> dict:
     """Run one section as a watchdogged child; never raises."""
     import subprocess
@@ -551,23 +580,23 @@ def _run_section_subprocess(name: str, slice_s: float) -> dict:
         r = subprocess.run(cmd, timeout=slice_s, capture_output=True,
                            text=True)
     except subprocess.TimeoutExpired as e:
+        texts = []
         for s in (e.stderr or b""), (e.stdout or b""):
-            s = s.decode(errors="replace") if isinstance(s, bytes) else s
-            if s:
-                sys.stderr.write(s[-4000:])
-        return {f"{name}_error": f"timeout after {int(slice_s)}s "
-                                 "(section killed by watchdog)"}
+            texts.append(s.decode(errors="replace")
+                         if isinstance(s, bytes) else s)
+        if texts[0]:
+            sys.stderr.write(texts[0][-4000:])
+        # salvage any incremental records the child flushed before the kill
+        out = _merge_tagged(texts[1])
+        out[f"{name}_error"] = (f"timeout after {int(slice_s)}s (section "
+                                "killed by watchdog"
+                                + ("; partial results kept)" if out else ")"))
+        return out
     dt = time.perf_counter() - t0
     if r.stderr:
         sys.stderr.write(r.stderr[-8000:])
-    out = None
-    for line in (r.stdout or "").splitlines():
-        if line.startswith(RESULT_TAG):
-            try:
-                out = json.loads(line[len(RESULT_TAG):])
-            except Exception:
-                pass
-    if out is None:
+    out = _merge_tagged(r.stdout)
+    if not out:
         tail = ((r.stderr or "") + (r.stdout or ""))[-300:]
         out = {f"{name}_error": f"section crashed rc={r.returncode}: {tail}"}
     out[f"bench_{name}_wall_seconds"] = round(dt, 1)
