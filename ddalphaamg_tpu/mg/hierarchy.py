@@ -70,10 +70,16 @@ def _interp_kernel(stencil, tvs, agg, n: int):
     return build_interpolation(agg, tvs_log)
 
 
-@partial(jax.jit, static_argnames=("agg", "kind", "mu"))
-def _galerkin_piece_kernel(op_galerkin, P, agg, kind: str, mu: int):
+@partial(jax.jit, static_argnames=("agg", "kind", "mu", "static_cols"))
+def _galerkin_piece_kernel(op_galerkin, P, agg, kind: str, mu: int,
+                           static_cols: bool = True):
+    """static_cols=True unrolls the 2N basis columns (one live fine field
+    at a time -- the 32^4 memory-lean form, but 2N unrolled op bodies to
+    compile); False lax.maps over the materialized basis (small trace,
+    fast compile -- right when the basis fits HBM, e.g. 16^4 x 28 TVs)."""
     from .galerkin import galerkin_piece
-    return galerkin_piece(op_galerkin, agg, P, kind, mu, static_cols=True)
+    return galerkin_piece(op_galerkin, agg, P, kind, mu,
+                          static_cols=static_cols)
 
 
 @partial(jax.jit, static_argnames=("geom", "soa", "layout"))
@@ -110,19 +116,31 @@ def _resetup_any(stencil, op_galerkin, tvs, agg, geom, n: int,
         d = int(op_galerkin.A.shape[-1])
         big = (sites * ((d + 7) // 8 * 8) * 128 * 8 > 500_000_000
                or sites * d * n > 4_000_000)
+    import os
+    if os.environ.get("DDAAMG_FORCE_PIECEWISE_RESETUP"):
+        big = True     # testability: exercise the piece-wise path small
     if not big:
         return _resetup_kernel(stencil, op_galerkin, tvs, agg, geom, n,
                                soa=soa, layout=layout)
     P = _interp_kernel(stencil, tvs, agg, n)
     # the "A" piece as one program (self + 8 hop directions) still demands
-    # 36 GB at 32^4: one direction per program
-    A = _galerkin_piece_kernel(op_galerkin, P, agg, "A_self", 0)
+    # 36 GB at 32^4: one direction per program.  Truly-large lattices use
+    # the unrolled one-column-live form; smaller lattices that are only
+    # here because of a large TV count keep the lax.map form (the 2N-column
+    # unroll is a compile-time cost, the materialized basis fits HBM).
+    sc = sites > 200_000
+    A = _galerkin_piece_kernel(op_galerkin, P, agg, "A_self", 0,
+                               static_cols=sc)
     for mu in range(4):
-        A = A + _galerkin_piece_kernel(op_galerkin, P, agg, "A_fwd", mu)
-        A = A + _galerkin_piece_kernel(op_galerkin, P, agg, "A_bwd", mu)
-    Df = cplx.stack([_galerkin_piece_kernel(op_galerkin, P, agg, "Df", mu)
+        A = A + _galerkin_piece_kernel(op_galerkin, P, agg, "A_fwd", mu,
+                                       static_cols=sc)
+        A = A + _galerkin_piece_kernel(op_galerkin, P, agg, "A_bwd", mu,
+                                       static_cols=sc)
+    Df = cplx.stack([_galerkin_piece_kernel(op_galerkin, P, agg, "Df", mu,
+                                            static_cols=sc)
                      for mu in range(4)])
-    Db = cplx.stack([_galerkin_piece_kernel(op_galerkin, P, agg, "Db", mu)
+    Db = cplx.stack([_galerkin_piece_kernel(op_galerkin, P, agg, "Db", mu,
+                                            static_cols=sc)
                      for mu in range(4)])
     from ..operators.coarse import CoarseOperator
     cop = CoarseOperator(A=A, Df=Df, Db=Db)

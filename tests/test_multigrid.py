@@ -171,3 +171,44 @@ def test_block_inverse_roundtrip_fine(op4):
     v2 = apply_block_inverse(s, binv, w)
     err = np.abs(np.asarray(v2) - np.asarray(v)).max()
     assert err < 5e-2, err
+
+
+def test_piecewise_resetup_matches_fused(op4, monkeypatch):
+    """The memory/compile-lean piece-wise coarsening rebuild (interp +
+    9 Galerkin pieces + stencil build as separate programs, the 32^4 /
+    28-TV path) produces the SAME P and coarse stencil as the fused
+    one-program _resetup_kernel (reference: one re_setup_PRECISION,
+    src/setup_generic.c:278)."""
+    from ddalphaamg_tpu.geometry import Geometry
+    from ddalphaamg_tpu.mg.hierarchy import _resetup_any
+    from ddalphaamg_tpu.operators.stencil import WilsonStencilSoA
+    from ddalphaamg_tpu import cplx
+
+    geom_f = Geometry(lattice=LAT, block=(2, 2, 2, 2))
+    geom_c = Geometry(lattice=(2, 2, 2, 2), block=(1, 1, 1, 1))
+    s = WilsonStencilSoA.build(op4, geom_f, dtype=jnp.complex64)
+    n = 4
+    agg_ = Aggregation(fine_lattice=LAT, coarsening=(2, 2, 2, 2),
+                       num_vectors=n, fine_dpc=6)
+    rng = np.random.default_rng(7)
+    tvs_log = jnp.asarray(rng.normal(size=(n, *LAT, 4, 3))
+                          + 1j * rng.normal(size=(n, *LAT, 4, 3))
+                          ).astype(jnp.complex64)
+    tvs = s.from_logical_batch(tvs_log)
+    op_g = op4.astype(jnp.complex64)
+
+    def run():
+        return _resetup_any(s, op_g, tvs, agg_, geom_c, n, soa=False)
+
+    P1, st1 = run()
+    monkeypatch.setenv("DDAAMG_FORCE_PIECEWISE_RESETUP", "1")
+    P2, st2 = run()
+    np.testing.assert_allclose(np.asarray(cplx.to_numpy(P1)),
+                               np.asarray(cplx.to_numpy(P2)),
+                               atol=2e-5)
+    for a, b, name in ((st1.cop.A, st2.cop.A, "A"),
+                       (st1.cop.Df, st2.cop.Df, "Df"),
+                       (st1.cop.Db, st2.cop.Db, "Db")):
+        np.testing.assert_allclose(np.asarray(cplx.to_numpy(a)),
+                                   np.asarray(cplx.to_numpy(b)),
+                                   atol=2e-4, err_msg=name)
