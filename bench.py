@@ -237,12 +237,26 @@ def bench_mg_solve(kind: str = "smooth", tv=(16, 16), setup=(3, 3),
     solver.set_conf(U, links_have_bc=True)
 
     progress = progress or (lambda d: None)
+    # liveness partial BEFORE the heavyweight setup: a cold compile cache
+    # makes the 28-TV setup's F-cycle program take >15 min of XLA compile
+    # (observed: the r5 first cold run died at the section watchdog with
+    # zero evidence); this record marks how far the section got and whether
+    # the cache was warm when it tried.
+    cache_dir = os.path.expanduser("~/.cache/ddalphaamg_tpu/xla")
+    try:
+        cache_entries = len(os.listdir(cache_dir))
+    except OSError:
+        cache_entries = 0
+    progress({"mg_test_vectors": list(tv), "mg_setup_iter": list(setup),
+              "mg_compile_cache_entries_at_start": cache_entries,
+              "mg_phase_reached": "setup"})
     t0 = time.perf_counter()
     with compile_time_tracker() as comp:
         solver.setup()
     setup_s = time.perf_counter() - t0
     progress({"mg_setup_seconds": round(setup_s, 1),
-              "mg_test_vectors": list(tv), "mg_setup_iter": list(setup)})
+              "mg_test_vectors": list(tv), "mg_setup_iter": list(setup),
+              "mg_phase_reached": "solve"})
 
     setup_run_s = None
     if measure_setup_run:
@@ -319,6 +333,7 @@ def bench_mg_solve(kind: str = "smooth", tv=(16, 16), setup=(3, 3),
         print(f"# coarse-fraction estimate failed: {e}", file=sys.stderr)
 
     out = {
+        "mg_phase_reached": "done",
         "mg_solve_seconds": round(info.solve_time, 3),
         "mg_setup_seconds": round(setup_s, 1),
         "mg_test_vectors": list(tv),

@@ -567,30 +567,32 @@ class Solver:
             max(5, min(p.restart_length, budget // max(n_dof * B, 1)))))
         self._last_m_cap = m_cap
 
-        # Inner-sweep tolerance clip: the true (double-float) residual
-        # reduction one f32 inner sweep can deliver is floored at
-        # ~kappa(D) * eps_f32 by the f32 ROUNDING OF THE OPERATOR ITSELF --
-        # measured on the rough 16^4 headline problem the floor is
-        # 2e-3..1.4e-2 per sweep no matter how far the inner GCR iterates
-        # (target 1e-5 delivered the SAME per-restart reductions as 3e-3,
-        # just with ~2 wasted iterations each).  Clipping at 3e-3 reached
-        # 1e-10 in 13 inner iterations vs 21 at the old 1e-5 clip
-        # (probe_solve_latency, 28-TV matched parameters).  Converged lanes
-        # get tol 2.0 -> the vmapped early-exit GCR freezes them at
-        # iteration 0 with a zero correction.
+        # Inner-sweep tolerance clip: how much true (double-float) residual
+        # reduction one f32 inner sweep is asked to deliver before the df
+        # outer refreshes.  The r4 claim that this was floored at 2e-3 by
+        # "f32 operator rounding" was a misattribution: the floor was the
+        # TPU's DEFAULT one-bf16-pass matmul precision inside the inner
+        # GCR's orthogonalization einsums (see docs/iteration_parity.md);
+        # with true-f32 Krylov recurrences (solvers/device_gmres.py) a
+        # sweep verifies down to ~kappa(D)*eps_f32.  The reference's inner
+        # f32 restart threshold is MAX(tol, 1e-5) (src/linsolve.c:44) --
+        # the same depth used here, so the sweep structure (2 sweeps to
+        # 1e-10 + short tail) matches the reference's restart structure.
+        # Converged lanes get tol 2.0 -> the vmapped early-exit GCR
+        # freezes them at iteration 0 with a zero correction.
         #
-        # p.inner_tol_clip None = ADAPTIVE (condition-aware): start at an
-        # optimistic 1e-4 and, whenever a sweep falls well short of its
-        # requested reduction, raise the clip to ~0.7x the measured
-        # per-sweep floor of THIS problem.  A well-conditioned operator
-        # (whose sweeps deliver what they are asked) keeps the deep
-        # targets; a fixed clip tuned on rough16 would cost it outer
-        # restarts.  DDAAMG_INNER_CLIP overrides with a fixed value.
+        # p.inner_tol_clip None = ADAPTIVE (condition-aware): start at the
+        # reference depth 1e-5 and, whenever a sweep falls well short of
+        # its requested reduction, raise the clip to ~0.7x the measured
+        # per-sweep floor of THIS problem (an ill-conditioned operator
+        # exposes its own kappa*eps floor; a fixed deep clip would waste
+        # iterations there).  DDAAMG_INNER_CLIP overrides with a fixed
+        # value.
         env_clip = os.environ.get("DDAAMG_INNER_CLIP")
         fixed_clip = (float(env_clip) if env_clip is not None
                       else p.inner_tol_clip)
         adaptive_clip = fixed_clip is None
-        clip = 1e-4 if adaptive_clip else float(fixed_clip)
+        clip = 1e-5 if adaptive_clip else float(fixed_clip)
         # the fused step bakes the Pallas-vs-einsum stencil choice per
         # batch size (B>1: einsum views, see Multigrid._level_data_batched)
         data = (self.mg._level_data() if B == 1

@@ -180,18 +180,31 @@ def cmul(a: CArray, b: CArray) -> CArray:
     return CArray(a.re * b.re - a.im * b.im, a.re * b.im + a.im * b.re)
 
 
-def einsum(spec: str, a, b, karatsuba: bool = True):
-    """Complex einsum.  For CArray operands: 3 real einsums (Karatsuba)."""
+def einsum(spec: str, a, b, karatsuba: bool = True, precision=None):
+    """Complex einsum.  For CArray operands: 3 real einsums (Karatsuba).
+
+    precision is forwarded to jnp.einsum.  On TPU the DEFAULT f32
+    contraction runs ONE bf16 pass through the MXU (~2e-3 relative
+    rounding per product) -- fine for preconditioner-internal math, but
+    a Krylov recurrence built on such contractions floors the true
+    residual reduction of an f32 sweep near 1e-3 (measured on the rough
+    16^4 headline problem; the reference's plain-C f32 kernels have no
+    such floor).  Solve-critical call sites pass precision="highest"
+    (6-pass true-f32 MXU) and karatsuba=False (the Karatsuba imag part
+    m3-m1-m2 adds cancellation on top of the MXU rounding); those
+    matvecs are skinny and HBM-bound, so the extra passes are free."""
     if not (isinstance(a, CArray) or isinstance(b, CArray)):
-        return jnp.einsum(spec, a, b)
+        return jnp.einsum(spec, a, b, precision=precision)
     a, b = as_carray(a), as_carray(b)
     if karatsuba:
-        m1 = jnp.einsum(spec, a.re, b.re)
-        m2 = jnp.einsum(spec, a.im, b.im)
-        m3 = jnp.einsum(spec, a.re + a.im, b.re + b.im)
+        m1 = jnp.einsum(spec, a.re, b.re, precision=precision)
+        m2 = jnp.einsum(spec, a.im, b.im, precision=precision)
+        m3 = jnp.einsum(spec, a.re + a.im, b.re + b.im, precision=precision)
         return CArray(m1 - m2, m3 - m1 - m2)
-    return CArray(jnp.einsum(spec, a.re, b.re) - jnp.einsum(spec, a.im, b.im),
-                  jnp.einsum(spec, a.re, b.im) + jnp.einsum(spec, a.im, b.re))
+    return CArray(jnp.einsum(spec, a.re, b.re, precision=precision)
+                  - jnp.einsum(spec, a.im, b.im, precision=precision),
+                  jnp.einsum(spec, a.re, b.im, precision=precision)
+                  + jnp.einsum(spec, a.im, b.re, precision=precision))
 
 
 def roll(a, shift, axis):
@@ -403,9 +416,11 @@ def block_qr(a, passes: int = 2):
     """Thin QR with orthonormal columns for batched [..., m, n] blocks.
 
     jnp path: jnp.linalg.qr with column-phase fixing.
-    CArray path: batched modified Gram-Schmidt (`passes` rounds, the
-    reference's double-orthogonalization for reduced precision,
-    src/setup_generic.c:291-296).  Returns Q only.
+    CArray path: column-wise classical Gram-Schmidt with double
+    projection (CGS-2 -- at least the orthogonality of the reference's
+    double-orthogonalization MGS, src/setup_generic.c:291-296) under a
+    fori_loop; `passes` is accepted for API compatibility (CGS-2 already
+    subsumes the passes=2 reorthogonalization).  Returns Q only.
     """
     if not isinstance(a, CArray):
         q, r = jnp.linalg.qr(a)
@@ -413,19 +428,37 @@ def block_qr(a, passes: int = 2):
         absd = jnp.where(jnp.abs(d) == 0, 1.0, jnp.abs(d))
         phase = jnp.where(jnp.abs(d) > 0, d / absd, 1.0)
         return q * jnp.conj(phase)[..., None, :]
+    # Column-by-column classical Gram-Schmidt with double projection
+    # (CGS-2, numerically equivalent to modified GS with reorthogonali-
+    # zation) as a fori_loop whose body is ONE batched einsum pair
+    # against the zero-padded already-built basis: zero columns of Q
+    # contribute zero coefficients, so no masking is needed (the
+    # solvers/fgmres._orthogonalize trick).  The previous per-(k,j)-pair
+    # unrolled MGS emitted O(n^2) whole-field reduction steps -- 378 at
+    # n=28 test vectors -- and the resulting XLA program sat in backend
+    # compile for >30 minutes at 16^4 (the r5 cold-cache killer).
+    # Projections run at true-f32 MXU precision: basis orthonormality is
+    # setup QUALITY (P^H P = I), not preconditioner-internal arithmetic.
     n = a.shape[-1]
-    cols = [a[..., :, k] for k in range(n)]  # each [..., m]
-    for _ in range(passes):
-        for k in range(n):
-            v = cols[k]
-            for j in range(k):
-                qj = cols[j]
-                # c = <q_j, v> per batch
-                cre = jnp.sum(qj.re * v.re + qj.im * v.im, axis=-1, keepdims=True)
-                cim = jnp.sum(qj.re * v.im - qj.im * v.re, axis=-1, keepdims=True)
-                v = CArray(v.re - (cre * qj.re - cim * qj.im),
-                           v.im - (cre * qj.im + cim * qj.re))
-            nrm = jnp.sqrt(jnp.sum(v.re * v.re + v.im * v.im, axis=-1, keepdims=True))
-            nrm = jnp.where(nrm == 0, 1.0, nrm)
-            cols[k] = CArray(v.re / nrm, v.im / nrm)
-    return stack(cols, axis=-1)
+    q0 = CArray(jnp.zeros_like(a.re), jnp.zeros_like(a.im))
+
+    def _col(mat, k):
+        return CArray(jax.lax.dynamic_slice_in_dim(mat.re, k, 1, axis=-1),
+                      jax.lax.dynamic_slice_in_dim(mat.im, k, 1, axis=-1))
+
+    def body(k, Q):
+        v = _col(a, k)                               # [..., m, 1]
+        for _ in range(2):
+            h = einsum("...mn,...mk->...nk", conj(Q), v,
+                       karatsuba=False, precision="highest")
+            v = v - einsum("...mn,...nk->...mk", Q, h,
+                           karatsuba=False, precision="highest")
+        nrm = jnp.sqrt(jnp.sum(v.re * v.re + v.im * v.im,
+                               axis=-2, keepdims=True))
+        inv = 1.0 / jnp.where(nrm == 0, 1.0, nrm)
+        v = CArray(v.re * inv, v.im * inv)
+        return CArray(
+            jax.lax.dynamic_update_slice_in_dim(Q.re, v.re, k, axis=-1),
+            jax.lax.dynamic_update_slice_in_dim(Q.im, v.im, k, axis=-1))
+
+    return jax.lax.fori_loop(0, n, body, q0)

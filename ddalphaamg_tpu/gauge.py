@@ -47,9 +47,18 @@ def dag(a):
 
 
 def _mm(*ms):
+    # precision="highest": these SU(3) products BUILD the stored clover
+    # entries (clover_Q chains three of them per leaf, 24 leaves summed).
+    # At the TPU default one-bf16-pass matmul precision the stored f32
+    # clover carried ~1e-2 accumulated rounding -- the f32 stencil then
+    # disagreed with the exact host-built double-float operator by 1e-2
+    # and every df outer sweep's TRUE reduction floored there (measured
+    # 1.4e-2/sweep on rough16; docs/iteration_parity.md).  Build cost is
+    # one-off per set_conf.
     out = ms[0]
     for m in ms[1:]:
-        out = cplx.einsum("...ij,...jk->...ik", out, m)
+        out = cplx.einsum("...ij,...jk->...ik", out, m,
+                          karatsuba=False, precision="highest")
     return out
 
 

@@ -82,6 +82,35 @@ def to_aggregates(agg: Aggregation, v: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(ct, cz, cy, cx, 2, agg.m)
 
 
+def to_aggregates_batch(agg: Aggregation, vs: jnp.ndarray) -> jnp.ndarray:
+    """[B, T,Z,Y,X, *dof] -> [Tc,Zc,Yc,Xc, 2, m, B] in ONE transpose.
+
+    The per-field form (cplx.stack of B to_aggregates results) makes XLA
+    materialize each element as a [1, field] temporary whose unit axis
+    lands minormost and tile-pads to 128 lanes -- 3 MB -> 384 MB per
+    temp at 16^4, the r4/r5 resetup-OOM class.  A whole-batch reshape +
+    transpose has no unit axes anywhere."""
+    ct, cz, cy, cx = agg.coarse_lattice
+    at, az, ay, ax = agg.coarsening
+    B = vs.shape[0]
+    x = vs.reshape(B, ct, at, cz, az, cy, ay, cx, ax, 2, agg.fine_dpc)
+    # -> [Tc,Zc,Yc,Xc, chir, at,az,ay,ax, dpc, B]
+    x = x.transpose(1, 3, 5, 7, 9, 2, 4, 6, 8, 10, 0)
+    return x.reshape(ct, cz, cy, cx, 2, agg.m, B)
+
+
+def from_aggregates_batch(agg: Aggregation, x: jnp.ndarray,
+                          dof_shape) -> jnp.ndarray:
+    """[B, Tc,Zc,Yc,Xc, 2, m] -> [B, T,Z,Y,X, *dof] (batched inverse of
+    to_aggregates; same no-stack rationale as to_aggregates_batch)."""
+    ct, cz, cy, cx = agg.coarse_lattice
+    at, az, ay, ax = agg.coarsening
+    B = x.shape[0]
+    x = x.reshape(B, ct, cz, cy, cx, 2, at, az, ay, ax, agg.fine_dpc)
+    x = x.transpose(0, 1, 6, 2, 7, 3, 8, 4, 9, 5, 10)
+    return x.reshape(B, ct * at, cz * az, cy * ay, cx * ax, *dof_shape)
+
+
 def from_aggregates(agg: Aggregation, x: jnp.ndarray, dof_shape) -> jnp.ndarray:
     """Inverse of to_aggregates."""
     ct, cz, cy, cx = agg.coarse_lattice
@@ -103,8 +132,7 @@ def build_interpolation(agg: Aggregation, test_vectors: jnp.ndarray) -> jnp.ndar
     lane dimension and XLA:TPU pads it to 128 -- at 32^4 with N=8 the
     stored P ballooned 16x to ~12 GB of HBM (measured; the root cause of
     the 32^4 ladder step's OOMs)."""
-    cols = cplx.stack([to_aggregates(agg, test_vectors[k])
-                       for k in range(agg.num_vectors)], axis=-1)
+    cols = to_aggregates_batch(agg, test_vectors)  # [.., 2, m, N]
     q = cplx.block_qr(cols)              # [.., 2, m, N], orthonormal cols
     return cplx.moveaxis(q, -1, -2)      # -> [.., 2, N, m]
 
@@ -128,14 +156,22 @@ def assemble_basis(agg: Aggregation, P: jnp.ndarray, dof_shape) -> jnp.ndarray:
     B[c*N+k] = P e_{c,k} on every aggregate simultaneously.
     Shape: [2N, T,Z,Y,X, *dof].  Input to the Galerkin triple product.
 
-    Built column-by-column (lax.map over basis_column): the padded
-    stack-and-concat form materialized ~5 P-sized intermediates at once --
-    at 32^4 that is ~8 GB of transient HBM inside every Galerkin piece
-    program.  For LARGE lattices prefer looping basis_column directly
-    (galerkin_piece does) so no [2N, fine-field] buffer exists at all:
-    XLA pads fine-field lane dims 4x at 32^4."""
-    return cplx.stack([basis_column(agg, P, dof_shape, q)
-                       for q in range(2 * agg.num_vectors)])
+    Built as ONE broadcast-multiply + batched layout transform: the
+    former per-column cplx.stack materialized 2N [1, fine-field]
+    temporaries whose unit axes tile-pad 128x on TPU (384 MB each at
+    16^4 -- the r5 piece-wise Galerkin OOM).  For LARGE lattices prefer
+    looping basis_column directly (galerkin_piece's static_cols form)
+    so no [2N, fine-field] buffer exists at all."""
+    N = agg.num_vectors
+    # P [Tc,Zc,Yc,Xc, c, N, m] -> [c, N, Tc,Zc,Yc,Xc, m]
+    pm = cplx.moveaxis(cplx.moveaxis(P, 4, 0), 5, 1)
+    # chirality embedding: bagg[c, k, site, chir, m] = P[site, c, k, m]
+    # * delta(c, chir) -- an exact 0/1 broadcast multiply, no einsum
+    rdtype = pm.re.dtype if cplx.is_split(pm) else jnp.float32
+    eye = jnp.eye(2, dtype=rdtype).reshape(2, 1, 1, 1, 1, 1, 2, 1)
+    bagg = pm[:, :, :, :, :, :, None, :] * eye
+    bagg = bagg.reshape(2 * N, *agg.coarse_lattice, 2, agg.m)
+    return from_aggregates_batch(agg, bagg, dof_shape)
 
 
 def basis_column(agg: Aggregation, P, dof_shape, q: int):

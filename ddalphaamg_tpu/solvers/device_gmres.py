@@ -95,10 +95,19 @@ def device_gcr(apply_op: Callable, b, m: int, tol: float,
             w = apply_op(q)
             wf, qf = w.reshape(-1), q.reshape(-1)
             rf = r.reshape(-1)
-            # orthogonalize w against previous (zero rows contribute zero)
-            h = cplx.einsum("in,n->i", cplx.conj(W), wf)
-            wf = wf - cplx.einsum("i,in->n", h, W)
-            qf = qf - cplx.einsum("i,in->n", h, Q)
+            # orthogonalize w against previous (zero rows contribute zero).
+            # precision="highest": these einsums ARE the Krylov recurrence
+            # -- at the TPU's default one-pass-bf16 f32 contraction the
+            # basis updates inject ~2e-3 relative noise per iteration and
+            # the true residual reduction of a whole f32 sweep floors near
+            # 1e-3 (measured; see cplx.einsum).  True-f32 passes restore
+            # the reference's plain-f32 sweep quality.
+            h = cplx.einsum("in,n->i", cplx.conj(W), wf,
+                            karatsuba=False, precision="highest")
+            wf = wf - cplx.einsum("i,in->n", h, W,
+                                  karatsuba=False, precision="highest")
+            qf = qf - cplx.einsum("i,in->n", h, Q,
+                                  karatsuba=False, precision="highest")
             wn2 = cplx.norm2(wf)
             inv = jax.lax.rsqrt(jnp.where(wn2 == 0, 1.0, wn2))
             wf = wf * inv

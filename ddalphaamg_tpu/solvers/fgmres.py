@@ -54,8 +54,10 @@ def _orthogonalize(V, w):
     Returns (w_orth, h) with h = V^H w (zero rows give zero coefficients,
     so no masking is needed) and w_orth = w - V^T h.
     """
-    h = cplx.einsum("in,n->i", cplx.conj(V), w)
-    w = w - cplx.einsum("i,in->n", h, V)
+    h = cplx.einsum("in,n->i", cplx.conj(V), w,
+                    karatsuba=False, precision="highest")
+    w = w - cplx.einsum("i,in->n", h, V,
+                        karatsuba=False, precision="highest")
     return w, h
 
 
@@ -75,9 +77,11 @@ def _orthogonalize_fused(V, w):
     the convergence (20 -> 55 iterations).  Use where the basis is f64 or
     tolerances are loose; production TPU solves use the device-restart GCR
     which has no per-step host reduction at all."""
-    h = cplx.einsum("in,n->i", cplx.conj(V), w)
+    h = cplx.einsum("in,n->i", cplx.conj(V), w,
+                    karatsuba=False, precision="highest")
     n2 = cplx.norm2(w)
-    w = w - cplx.einsum("i,in->n", h, V)
+    w = w - cplx.einsum("i,in->n", h, V,
+                        karatsuba=False, precision="highest")
     return w, h, n2
 
 
@@ -93,8 +97,10 @@ def _orthogonalize_fused2(V, w):
     program under a mesh), so iteration counts are unchanged BY
     CONSTRUCTION -- no Pythagoras cancellation risk (the measured f32
     failure mode of _orthogonalize_fused)."""
-    h = cplx.einsum("in,n->i", cplx.conj(V), w)
-    w = w - cplx.einsum("i,in->n", h, V)
+    h = cplx.einsum("in,n->i", cplx.conj(V), w,
+                    karatsuba=False, precision="highest")
+    w = w - cplx.einsum("i,in->n", h, V,
+                        karatsuba=False, precision="highest")
     return w, h, cplx.norm2(w)
 
 
@@ -110,7 +116,8 @@ def _norm(w) -> float:
 @jax.jit
 def _axpy_basis(x, y, basis):
     """x + sum_i y[i] * basis[i]."""
-    return x + cplx.einsum("i,in->n", y, basis)
+    return x + cplx.einsum("i,in->n", y, basis,
+                           karatsuba=False, precision="highest")
 
 
 def fgmres(
@@ -474,7 +481,8 @@ def fgmres_mp(
                     y[i] -= H[i, k] * y[k]
                 y[i] /= H[i, i]
             basis = Z if prec_flat is not None else V[:m]
-            update = cplx.einsum("i,in->n", put_inner(y), basis)
+            update = cplx.einsum("i,in->n", put_inner(y), basis,
+                                 karatsuba=False, precision="highest")
             x = x + _to_rdtype(update, outer_rdtype)
         if diverged:
             break
