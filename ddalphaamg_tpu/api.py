@@ -466,6 +466,101 @@ class Solver:
         return FGMRESResult(x_log[0], int(its[0]), float(relres[0]),
                             bool(converged[0]), [float(r[0]) for r in resvec])
 
+    def _solve_df_plain(self, rhs, tol, prec=None, x0=None):
+        """Double-float outer refinement for the NON-multigrid Krylov
+        methods on TPU (0 GMRES, 1/2/3 FGMRES+Schwarz without AMG).
+
+        The host FGMRES's 'f64' outer silently demotes to f32 where x64
+        is unavailable: on the 4^4 method-1 problem 79 f32 Arnoldi
+        iterations reported 8.3e-11 from the Givens recurrence while the
+        TRUE residual sat at 9.4e-4 (measured on the chip).  Here every
+        restart re-anchors on the double-float residual against the
+        f64-accurate host-built operator (operators/dfloat.py) -- the
+        same standard as the MG production path -- and the f32 inner is
+        a device-restart flexible GCR with the method's (traceable)
+        preconditioner.  Methods 4/5 keep the host loop: their inner
+        solvers (host-Givens GMRES / BiCGstab) are host-driven and
+        cannot sit inside the traced GCR body.  Reference analog:
+        fgmres_MP's double outer recurrences + restart anchors
+        (src/linsolve.c:153-314)."""
+        import jax
+
+        from .operators import dfloat as dfm
+        from .solvers.device_gmres import device_gcr
+        from .solvers.fgmres import FGMRESResult
+        from .utils import host_array, host_float
+
+        p = self.p
+        lat = self.lattice
+        t, z, y, x_ = lat
+        wdf, _ = self._wilson_df()
+        residual, extract_r32, axpy = dfm.build_outer_fns(lat)
+
+        def to_soa64(a64):
+            return np.transpose(a64.reshape(*lat, 4, 3),
+                                (4, 5, 0, 1, 2, 3)).reshape(4, 3, t, z, y * x_)
+
+        b64 = np.asarray(rhs, np.complex128).reshape(*lat, 4, 3)
+        b_cdf = dfm.cdf_from64(to_soa64(b64))
+        norm_b = float(np.linalg.norm(b64)) or 1.0
+        if x0 is not None:
+            x = dfm.cdf_from64(to_soa64(
+                np.asarray(x0, np.complex128).reshape(*lat, 4, 3)))
+        else:
+            zero = jnp.zeros((4, 3, t, z, y * x_), jnp.float32)
+            x = dfm.CDF(dfm.DF(zero, zero), dfm.DF(zero, zero))
+
+        m = max(5, int(p.restart_length))
+        op = self.op
+        clip = 1e-5 if p.inner_tol_clip is None else float(p.inner_tol_clip)
+        nb32 = jnp.float32(norm_b)
+        tol32 = jnp.float32(tol)
+        clip32 = jnp.float32(clip)
+
+        if getattr(self, "_df_plain_step", None) is None \
+                or self._df_plain_step[0] != (lat, id(prec)):
+            def step(wdf_, b_, x_c):
+                r, rn2 = residual(wdf_, b_, x_c)
+                nr = jnp.sqrt(jnp.maximum(rn2[0] + rn2[1], 0.0))
+                rel = nr / nb32
+                target = jnp.where(
+                    rel < tol32, jnp.float32(2.0),
+                    jnp.maximum(tol32 * nb32 / jnp.maximum(nr, 1e-30),
+                                clip32))
+                rb = extract_r32(r)          # logical f32 CArray
+                z1, it, _, _ = device_gcr(
+                    lambda v: _jit_apply(op, v), rb, m=m, tol=target,
+                    n_restarts=1, prec=prec)
+                return axpy(x_c, z1), rel, it
+            self._df_plain_step = ((lat, id(prec)), jax.jit(step))
+        step_j = self._df_plain_step[1]
+
+        resvec: list[float] = []
+        total_it = 0.0
+        relres = 1.0
+        converged = False
+        for _restart in range(p.max_restarts):
+            x, rel, it = step_j(wdf, b_cdf, x)
+            relres = float(host_float(rel))
+            total_it += float(host_float(it))
+            resvec.append(relres)
+            if relres < tol:
+                converged = True
+                break
+        # final VERIFIED residual of the returned solution
+        _, rn2 = residual(wdf, b_cdf, x)
+        arr = host_array(rn2)
+        nr = float(np.sqrt(max(float(arr[0]) + float(arr[1]), 0.0)))
+        relres = nr / norm_b
+        resvec.append(relres)
+        converged = relres < tol
+        self._last_inner_clip = clip
+        self._last_m_cap = m
+        # SoA64 -> logical complex128 host array
+        x64 = dfm.cdf_to64(x).reshape(4, 3, *lat)
+        x_log = np.transpose(x64, (2, 3, 4, 5, 0, 1))
+        return FGMRESResult(x_log, int(total_it), relres, converged, resvec)
+
     def _solve_df_multi(self, rhs_batch, tol, x0=None):
         """Batched multi-RHS production outer loop: _solve_df_device with
         every per-restart device program vmapped over the B right-hand
@@ -794,8 +889,14 @@ class Solver:
         use_df = (self.mg is not None and self._U_host is not None
                   and default_split()
                   and not os.environ.get("DDAAMG_HOST_OUTER"))
+        # non-MG Krylov methods whose preconditioner is traceable get the
+        # same double-float outer treatment (see _solve_df_plain)
+        use_df_plain = (not use_df and self.mg is None and self.mesh is None
+                        and p.method in (0, 1, 2, 3)
+                        and self._U_host is not None and default_split()
+                        and not os.environ.get("DDAAMG_HOST_OUTER"))
         b = None
-        if p.method == -1 or not use_df:
+        if p.method == -1 or not (use_df or use_df_plain):
             # the df production path builds its own double-float device rhs
             # from the numpy array; this logical-layout copy would be dead
             # weight (0.8 GB at 32^4)
@@ -844,6 +945,9 @@ class Solver:
             # inner solves + double-float outer residual -- O(restarts)
             # host round-trips and true 1e-10 verification without f64
             res = self._solve_df_device(rhs, tol, x0=x0)
+        elif use_df_plain:
+            res = self._solve_df_plain(rhs, tol, prec=self.preconditioner,
+                                       x0=x0)
         elif p.mixed_precision == 2 and self.mg is not None:
             # restart-shaped fgmres_MP: whole inner restarts as single
             # device programs, O(restarts) host round-trips

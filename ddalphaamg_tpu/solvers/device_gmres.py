@@ -34,6 +34,18 @@ def _creal_dot(a, b):
     return cplx.real(v), cplx.imag(v)
 
 
+def _match_repr(v, like):
+    """Coerce v to `like`'s complex representation (split CArray vs
+    native complex) -- preconditioners are representation-agnostic at
+    their boundary (e.g. the non-SoA SAP returns native complex while
+    the df-plain outer iterates split f32)."""
+    if cplx.is_split(like) and not cplx.is_split(v):
+        return cplx.as_carray(v)
+    if not cplx.is_split(like) and cplx.is_split(v):
+        return jax.lax.complex(v.re, v.im)
+    return v
+
+
 def _cax(alpha_re, alpha_im, v):
     """(alpha_re + i alpha_im) * v for a (possibly split) vector."""
     if cplx.is_split(v):
@@ -67,7 +79,9 @@ def device_gcr(apply_op: Callable, b, m: int, tol: float,
         if prec is None:
             return v, zero
         out = prec(v)
-        if isinstance(out, tuple):
+        # CArray is itself a NamedTuple: only a genuine (z, aux) pair
+        # unpacks (a bare split field would wrongly split into (re, im))
+        if isinstance(out, tuple) and not isinstance(out, cplx.CArray):
             return out
         return out, zero
 
@@ -92,7 +106,8 @@ def device_gcr(apply_op: Callable, b, m: int, tol: float,
         def body(st):
             j, x, r, W, Q, iters, aux_sum = st
             q, aux = p(r)
-            w = apply_op(q)
+            q = _match_repr(q, r)
+            w = _match_repr(apply_op(q), r)
             wf, qf = w.reshape(-1), q.reshape(-1)
             rf = r.reshape(-1)
             # orthogonalize w against previous (zero rows contribute zero).
