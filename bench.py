@@ -501,9 +501,9 @@ RESULT_TAG = "@@RESULT "
 SECTION_PLAN = [
     ("dslash",   480, None, 120),
     ("headline", 1100, None, 300),
-    ("fast",     420, "DDAAMG_BENCH_SKIP_FAST", 180),
-    ("lat32",    900, "DDAAMG_BENCH_SKIP_32", 300),
-    ("smooth",   420, "DDAAMG_BENCH_SKIP_SMOOTH", 180),
+    ("fast",     640, "DDAAMG_BENCH_SKIP_FAST", 180),
+    ("smooth",   640, "DDAAMG_BENCH_SKIP_SMOOTH", 180),
+    ("lat32",    1100, "DDAAMG_BENCH_SKIP_32", 300),
 ]
 
 
